@@ -1,0 +1,189 @@
+"""Spatial Ray Data stages: tile assignment, containment joins, kNN joins.
+
+Shapes (SURVEY.md §2 mapping):
+
+* :func:`assign_tiles`       — the H3/S2-style cell-encode stage (C7/P10):
+  stateless ``map_batches`` over zero-copy Arrow adding grid coords,
+  Hilbert rank and ``cell_id``.
+* :class:`ContainJoinActor`  — R4-shaped "zones containing this doc"
+  broadcast join: zones are ``ray.put`` once, each actor builds a
+  :class:`GridContain` cover index in ``__init__`` (once per actor, NOT
+  per batch) and probes batches vectorized.
+* :class:`KnnJoinActor`      — K1/K2/R1/R2/S3/S4-shaped kNN join of the
+  streaming side against a broadcast build side (points, boxes or
+  segments) via :class:`GridKnn` ring expansion.
+* :func:`find_in_boxes`      — K3-shaped range query: a small broadcast
+  set of query boxes vs the streaming points (vectorized mask).
+* :func:`subset_join` / :func:`superset_join` — R3/R4-shaped
+  containment of streaming *boxes* vs broadcast query boxes.
+
+Broadcast protocol: the small side is ``ray.put`` ONCE on the driver;
+``fn_constructor_kwargs`` ships only the ObjectRef; each actor
+``ray.get``-s it in ``__init__`` — the payload crosses the object store
+once per node, not once per batch.
+
+Scale notes: the streaming side is never materialized; all stages are
+row-wise parallel with no shuffle.  The shuffle-based variants (for
+build sides too large to broadcast) live in
+:mod:`locus_ray.stages.partitioned`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..cells import cell_of_grid, grid_coords
+from ..config import DEFAULT_CELL_RES
+from ..grid_index import GridContain, GridKnn
+from ..hilbert import hilbert_index
+from ..kernels import box_is_subset, contains_point
+
+
+def assign_tiles(ds, res: int = DEFAULT_CELL_RES, x_col: str = "x", y_col: str = "y"):
+    """Add ``ix, iy, hilbert_key, cell_id`` columns (tile assignment).
+
+    The engine analog of the reference's Hilbert scaling + ranking
+    (locus/_core/hilbert.py:7-42, locus/_core/r.py:112-134) as one
+    vectorized, stateless Arrow stage.
+    """
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        ix, iy = grid_coords(x, y)
+        hk = hilbert_index(ix.astype(np.uint32), iy.astype(np.uint32))
+        cid = cell_of_grid(ix, iy, res)
+        return (
+            batch.append_column("ix", pa.array(ix))
+            .append_column("iy", pa.array(iy))
+            .append_column("hilbert_key", pa.array(hk.astype(np.int64)))
+            .append_column("cell_id", pa.array(cid))
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class ContainJoinActor:
+    """Actor-pool stage: emit (carry columns + zone_id) for every
+    broadcast zone box containing the row's point (closed semantics)."""
+
+    def __init__(self, zones_ref, res: int, x_col: str = "x", y_col: str = "y",
+                 carry: tuple[str, ...] = ("doc_id",), id_out: str = "zone_id"):
+        zones = ray.get(zones_ref) if isinstance(zones_ref, ray.ObjectRef) else zones_ref
+        self.index = GridContain(
+            {k: zones[k] for k in ("min_x", "max_x", "min_y", "max_y")},
+            zones["ids"], res,
+        )
+        self.x_col, self.y_col, self.carry, self.id_out = x_col, y_col, carry, id_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        qy = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        src, zone_id = self.index.query(qx, qy)
+        cols = {c: batch.column(c).take(pa.array(src)) for c in self.carry}
+        cols[self.id_out] = pa.array(zone_id)
+        return pa.table(cols)
+
+
+class KnnJoinActor:
+    """Actor-pool stage: per row, top-k broadcast geometries by squared
+    distance, exploded to one output row per (row, rank) with a
+    deterministic (distance, id) order."""
+
+    def __init__(self, build_ref, kind: str, res: int, k: int,
+                 x_col: str = "x", y_col: str = "y",
+                 carry: tuple[str, ...] = ("doc_id",),
+                 id_out: str = "neighbor_id", rank_out: str = "rnk",
+                 dist_out: str = "d2"):
+        payload = ray.get(build_ref) if isinstance(build_ref, ray.ObjectRef) else build_ref
+        geoms = {k_: v for k_, v in payload.items() if k_ != "ids"}
+        self.index = GridKnn(kind, geoms, payload["ids"], res)
+        self.k = k
+        self.x_col, self.y_col, self.carry = x_col, y_col, carry
+        self.id_out, self.rank_out, self.dist_out = id_out, rank_out, dist_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        qy = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        ids, d2 = self.index.query(qx, qy, self.k)
+        found = ids >= 0
+        src = np.repeat(np.arange(len(qx), dtype=np.int64), found.sum(axis=1))
+        ranks = np.tile(np.arange(self.k, dtype=np.int64), len(qx)).reshape(len(qx), self.k)[found]
+        cols = {c: batch.column(c).take(pa.array(src)) for c in self.carry}
+        cols[self.id_out] = pa.array(ids[found])
+        cols[self.rank_out] = pa.array(ranks + 1)  # 1-based, matches SQL ROW_NUMBER
+        cols[self.dist_out] = pa.array(d2[found])
+        return pa.table(cols)
+
+
+def find_in_boxes(ds, query_boxes: dict[str, np.ndarray],
+                  x_col: str = "x", y_col: str = "y",
+                  carry: tuple[str, ...] = ("doc_id",)):
+    """K3-shaped range query: (query_id, carry...) for every streaming
+    point inside each closed query box (locus/kd.py:449-507 contract).
+
+    ``query_boxes`` is a small driver-side dict with keys
+    ``query_id, min_x, max_x, min_y, max_y`` — shipped in the task
+    closure (tiny), mask evaluated vectorized per batch.
+    """
+    qid = np.asarray(query_boxes["query_id"], dtype=np.int64)
+    mnx = np.asarray(query_boxes["min_x"], dtype=np.float64)
+    mxx = np.asarray(query_boxes["max_x"], dtype=np.float64)
+    mny = np.asarray(query_boxes["min_y"], dtype=np.float64)
+    mxy = np.asarray(query_boxes["max_y"], dtype=np.float64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        # (n_points, n_queries) closed containment mask
+        m = contains_point(mnx[None, :], mxx[None, :], mny[None, :], mxy[None, :],
+                           x[:, None], y[:, None])
+        src, q = np.nonzero(m)
+        cols = {"query_id": pa.array(qid[q])}
+        for c in carry:
+            cols[c] = batch.column(c).take(pa.array(src))
+        return pa.table(cols)
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _box_vs_queries(ds, query_boxes: dict[str, np.ndarray], mode: str,
+                    id_col: str = "zone_id"):
+    qid = np.asarray(query_boxes["query_id"], dtype=np.int64)
+    mnx = np.asarray(query_boxes["min_x"], dtype=np.float64)
+    mxx = np.asarray(query_boxes["max_x"], dtype=np.float64)
+    mny = np.asarray(query_boxes["min_y"], dtype=np.float64)
+    mxy = np.asarray(query_boxes["max_y"], dtype=np.float64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bmnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        bmxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        bmny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        bmxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        if mode == "subset":  # streaming box ⊆ query box (R3)
+            m = box_is_subset(bmnx[:, None], bmxx[:, None], bmny[:, None], bmxy[:, None],
+                              mnx[None, :], mxx[None, :], mny[None, :], mxy[None, :])
+        else:  # query box ⊆ streaming box (R4)
+            m = box_is_subset(mnx[None, :], mxx[None, :], mny[None, :], mxy[None, :],
+                              bmnx[:, None], bmxx[:, None], bmny[:, None], bmxy[:, None])
+        src, q = np.nonzero(m)
+        return pa.table({
+            "query_id": pa.array(qid[q]),
+            id_col: batch.column(id_col).take(pa.array(src)),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def subset_join(ds, query_boxes, id_col: str = "zone_id"):
+    """R3 contract (locus/r.py:190-235): streaming boxes contained in
+    each query box (closed)."""
+    return _box_vs_queries(ds, query_boxes, "subset", id_col)
+
+
+def superset_join(ds, query_boxes, id_col: str = "zone_id"):
+    """R4 contract (locus/r.py:307-353): streaming boxes containing
+    each query box (closed)."""
+    return _box_vs_queries(ds, query_boxes, "superset", id_col)
