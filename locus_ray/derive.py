@@ -35,6 +35,17 @@ _SEG_A4, _SEG_B4 = 104729, 5
 HOT_X, HOT_Y = 10.0, 50.0  # hot-cluster center (skew fixture)
 
 
+def F(v: float) -> str:
+    """Format a float64 as a SQL literal DuckDB lexes directly as
+    DOUBLE.  Plain decimal literals become DECIMAL, and DuckDB's
+    DECIMAL->DOUBLE cast is not correctly rounded (off by ~1 ulp for
+    16-digit literals — measured on v1.0.0), which breaks bit-parity
+    with numpy.  An exponent marker forces the DOUBLE lexer path
+    (strtod, correctly rounded)."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
 def doc_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Geotag for each document id (80% uniform, 20% hot cluster)."""
     d = np.asarray(doc_id, dtype=np.int64)
@@ -87,34 +98,37 @@ def segment_coords(seg_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
 
 def sql_docs_geo() -> str:
     """CTE body: documents with derived (x, y) — bit-identical to doc_xy."""
+    m = F(_M1)
     return f"""
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0
-                THEN {HOT_X!r} + ((((doc_id * {_DOC_A1}) % {_M1}) / {float(_M1)!r}) * 4.0 - 2.0)
-                ELSE (((doc_id * {_DOC_A1}) % {_M1}) / {float(_M1)!r}) * 360.0 - 180.0 END AS x,
+                THEN {F(HOT_X)} + ((((doc_id * {_DOC_A1}) % {_M1}) / {m}) * 4.0e0 - 2.0e0)
+                ELSE (((doc_id * {_DOC_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 END AS x,
            CASE WHEN doc_id % 5 = 0
-                THEN {HOT_Y!r} + ((((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {float(_M1)!r}) * 2.0 - 1.0)
-                ELSE (((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {float(_M1)!r}) * 180.0 - 90.0 END AS y
+                THEN {F(HOT_Y)} + ((((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 2.0e0 - 1.0e0)
+                ELSE (((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 END AS y
     FROM documents
     """
 
 
 def sql_zones() -> str:
     """CTE body: zones with derived boxes — bit-identical to zone_box."""
+    m = F(_M1)
+    m3 = F(_ZONE_M3)
     return f"""
     SELECT p_partkey AS zone_id,
            cx - hw AS min_x, cx + hw AS max_x,
            cy - hh AS min_y, cy + hh AS max_y
     FROM (
       SELECT p_partkey,
-             (((p_partkey * {_ZONE_A1}) % {_M1}) / {float(_M1)!r}) * 360.0 - 180.0 AS cx,
-             (((p_partkey * {_ZONE_A2} + {_ZONE_B2}) % {_M1}) / {float(_M1)!r}) * 180.0 - 90.0 AS cy,
+             (((p_partkey * {_ZONE_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS cx,
+             (((p_partkey * {_ZONE_A2} + {_ZONE_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS cy,
              CASE WHEN p_partkey % 50 = 0
-                  THEN (0.05 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {float(_ZONE_M3)!r}) * 5.0) * 20.0
-                  ELSE 0.05 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {float(_ZONE_M3)!r}) * 5.0 END AS hw,
+                  THEN (5.0e-2 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0) * 20.0e0
+                  ELSE 5.0e-2 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0 END AS hw,
              CASE WHEN p_partkey % 50 = 0
-                  THEN (0.05 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {float(_ZONE_M3)!r}) * 2.5) * 20.0
-                  ELSE 0.05 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {float(_ZONE_M3)!r}) * 2.5 END AS hh
+                  THEN (5.0e-2 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0) * 20.0e0
+                  ELSE 5.0e-2 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0 END AS hh
       FROM part
     )
     """
@@ -123,15 +137,17 @@ def sql_zones() -> str:
 def sql_segments() -> str:
     """CTE body: segments with derived endpoints — bit-identical to
     segment_coords."""
+    m = F(_M1)
+    ms = F(_SEG_M3)
     return f"""
     SELECT c_custkey AS segment_id,
            sx AS start_x, sy AS start_y,
-           (sx + ((((c_custkey * {_SEG_A3}) % {_SEG_M3}) / {float(_SEG_M3)!r}) * 6.0 - 3.0)) + 0.001 AS end_x,
-           (sy + ((((c_custkey * {_SEG_A4} + {_SEG_B4}) % {_SEG_M3}) / {float(_SEG_M3)!r}) * 6.0 - 3.0)) + 0.001 AS end_y
+           (sx + ((((c_custkey * {_SEG_A3}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_x,
+           (sy + ((((c_custkey * {_SEG_A4} + {_SEG_B4}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_y
     FROM (
       SELECT c_custkey,
-             (((c_custkey * {_SEG_A1}) % {_M1}) / {float(_M1)!r}) * 360.0 - 180.0 AS sx,
-             (((c_custkey * {_SEG_A2} + {_SEG_B2}) % {_M1}) / {float(_M1)!r}) * 180.0 - 90.0 AS sy
+             (((c_custkey * {_SEG_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS sx,
+             (((c_custkey * {_SEG_A2} + {_SEG_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS sy
       FROM customer
     )
     """

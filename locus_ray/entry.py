@@ -1,0 +1,588 @@
+"""Driver contract implementation: entry(), queries(), oracle_sql().
+
+Each ``queries()`` entry is a Ray Data pipeline over the sf_dir parquet
+tables; each ``oracle_sql()`` entry is the equivalent DuckDB SQL over
+the same tables.  Geo layers are derived deterministically on both
+sides (:mod:`locus_ray.derive` — bit-identical float64), query
+workloads are shared constants (:mod:`locus_ray.workload`), and every
+computed column is named identically in both places.
+
+Ray is initialised by the DRIVER before this module is imported — no
+``ray.init``/``ray.shutdown`` anywhere in the library.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import derive, workload
+from .config import DEFAULT_CELL_RES, SQUARE_SIZE, WORLD_MIN_X, WORLD_MIN_Y
+
+RES = DEFAULT_CELL_RES  # 8 -> 256x256 cells; shift = 16 - 8
+_SHIFT_DIV = 1 << (16 - RES)
+_AXIS = 1 << RES
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments
+# ---------------------------------------------------------------------------
+
+def _sql_grid() -> str:
+    """docs_geo + integer grid coords (bit-identical to cells.grid_coords)."""
+    F = derive.F
+    return f"""
+    SELECT doc_id, x, y,
+      LEAST(GREATEST(CAST(FLOOR(((x - ({F(WORLD_MIN_X)})) / 360.0e0) * {F(SQUARE_SIZE)}) AS BIGINT), 0), 65535) AS ix,
+      LEAST(GREATEST(CAST(FLOOR(((y - ({F(WORLD_MIN_Y)})) / 180.0e0) * {F(SQUARE_SIZE)}) AS BIGINT), 0), 65535) AS iy
+    FROM ({derive.sql_docs_geo()})
+    """
+
+
+_BOX_D2 = (
+    "GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0) * GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0)"
+    " + GREATEST(z.min_y - d.y, d.y - z.max_y, 0.0) * GREATEST(z.min_y - d.y, d.y - z.max_y, 0.0)"
+)
+
+
+def _seg_point_d2(px: str, py: str) -> str:
+    """SQL for segment_point_squared_distance (same op order as numpy)."""
+    return f"""(
+      ({px} - (s.start_x + LEAST(GREATEST(((({px} - s.start_x) * (s.end_x - s.start_x) + ({py} - s.start_y) * (s.end_y - s.start_y)) / ((s.end_x - s.start_x) * (s.end_x - s.start_x) + (s.end_y - s.start_y) * (s.end_y - s.start_y))), 0.0), 1.0) * (s.end_x - s.start_x)))
+      * ({px} - (s.start_x + LEAST(GREATEST(((({px} - s.start_x) * (s.end_x - s.start_x) + ({py} - s.start_y) * (s.end_y - s.start_y)) / ((s.end_x - s.start_x) * (s.end_x - s.start_x) + (s.end_y - s.start_y) * (s.end_y - s.start_y))), 0.0), 1.0) * (s.end_x - s.start_x)))
+      + ({py} - (s.start_y + LEAST(GREATEST(((({px} - s.start_x) * (s.end_x - s.start_x) + ({py} - s.start_y) * (s.end_y - s.start_y)) / ((s.end_x - s.start_x) * (s.end_x - s.start_x) + (s.end_y - s.start_y) * (s.end_y - s.start_y))), 0.0), 1.0) * (s.end_y - s.start_y)))
+      * ({py} - (s.start_y + LEAST(GREATEST(((({px} - s.start_x) * (s.end_x - s.start_x) + ({py} - s.start_y) * (s.end_y - s.start_y)) / ((s.end_x - s.start_x) * (s.end_x - s.start_x) + (s.end_y - s.start_y) * (s.end_y - s.start_y))), 0.0), 1.0) * (s.end_y - s.start_y)))
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Ray query callables
+# ---------------------------------------------------------------------------
+
+def _q_tile_assign(sf_dir: str):
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.assign_tiles(tables.docs_geo(sf_dir), res=RES).select_columns(
+        ["doc_id", "x", "y", "ix", "iy", "cell_id"]
+    )
+
+
+def _q_hilbert_rank(sf_dir: str):
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.assign_tiles(tables.docs_geo(sf_dir), res=RES).select_columns(
+        ["doc_id", "hilbert_key"]
+    )
+
+
+def _q_tile_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+    from .stages import spatial
+
+    tiled = spatial.assign_tiles(tables.docs_geo(sf_dir), res=RES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cid, cnt = np.unique(
+            batch.column("cell_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt.astype(np.int64))})
+
+    return (
+        tiled.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_id")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+def _q_zone_contains_doc(sf_dir: str):
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(tables.zones_payload(sf_dir))
+    return tables.docs_geo(sf_dir).map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"zones_ref": ref, "res": RES},
+        concurrency=4, batch_size=4096,
+    )
+
+
+def _q_zone_contains_doc_shuffle(sf_dir: str):
+    from .sources import tables
+    from .stages import partitioned
+
+    return partitioned.contain_join_partitioned(
+        tables.docs_geo(sf_dir), tables.zones_ds(sf_dir), res=RES,
+        num_partitions=16, hot_threshold=2000,
+    )
+
+
+def _q_find_box_docs(sf_dir: str):
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.find_in_boxes(tables.docs_geo(sf_dir), workload.QUERY_BOXES)
+
+
+def _q_zone_subsets(sf_dir: str):
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.subset_join(tables.zones_ds(sf_dir), workload.QUERY_BOXES)
+
+
+def _q_zone_supersets(sf_dir: str):
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.superset_join(tables.zones_ds(sf_dir), workload.QUERY_BOXES)
+
+
+def _knn(sf_dir: str, kind: str, payload_fn, k: int, id_out: str,
+         with_rank: bool = True):
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(payload_fn(sf_dir))
+    out = tables.docs_geo(sf_dir).map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": ref, "kind": kind, "res": RES, "k": k,
+                               "id_out": id_out},
+        concurrency=4, batch_size=4096,
+    )
+    if not with_rank:
+        out = out.drop_columns(["rnk"])
+    return out
+
+
+def _q_knn_zones(sf_dir: str):
+    from .sources import tables
+
+    return _knn(sf_dir, "box", tables.zones_payload, workload.K_ZONES, "zone_id")
+
+
+def _q_nearest_zone(sf_dir: str):
+    from .sources import tables
+
+    return _knn(sf_dir, "box", tables.zones_payload, 1, "zone_id", with_rank=False)
+
+
+def _q_snap_to_segment(sf_dir: str):
+    from .sources import tables
+
+    return _knn(sf_dir, "segment", tables.segments_payload, 1, "segment_id",
+                with_rank=False)
+
+
+def _q_knn_zones_shuffle(sf_dir: str):
+    from .sources import tables
+    from .stages import partitioned
+
+    return partitioned.knn_join_partitioned(
+        tables.docs_geo(sf_dir), tables.zones_ds(sf_dir),
+        tables.zones_payload(sf_dir), k=workload.K_ZONES, res=RES,
+        pad_rings=1, num_partitions=16,
+    )
+
+
+def _query_points_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(workload.QUERY_POINTS["query_id"]),
+        "x": pa.array(workload.QUERY_POINTS["x"]),
+        "y": pa.array(workload.QUERY_POINTS["y"]),
+    }))
+
+
+def _knn_from_points(sf_dir: str, kind: str, payload_fn, k: int, id_out: str,
+                     with_rank: bool = True):
+    import ray
+
+    from .stages import spatial
+
+    ref = ray.put(payload_fn(sf_dir))
+    out = _query_points_ds().map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": ref, "kind": kind, "res": RES, "k": k,
+                               "carry": ("query_id",), "id_out": id_out},
+        concurrency=1, batch_size=64,
+    )
+    if not with_rank:
+        out = out.drop_columns(["rnk"])
+    return out
+
+
+def _q_knn_docs(sf_dir: str):
+    from .sources import tables
+
+    return _knn_from_points(sf_dir, "point", tables.docs_payload, workload.K_DOCS,
+                            "doc_id")
+
+
+def _q_nearest_doc(sf_dir: str):
+    from .sources import tables
+
+    return _knn_from_points(sf_dir, "point", tables.docs_payload, 1, "doc_id",
+                            with_rank=False)
+
+
+def _q_knn_segments_to_point(sf_dir: str):
+    from .sources import tables
+
+    return _knn_from_points(sf_dir, "segment", tables.segments_payload,
+                            workload.K_SEGMENTS, "segment_id")
+
+
+def _q_zone_bounds(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    from .sources import tables
+
+    row = tables.zones_ds(sf_dir).aggregate(
+        Min("min_x", alias_name="min_x"), Max("max_x", alias_name="max_x"),
+        Min("min_y", alias_name="min_y"), Max("max_y", alias_name="max_y"),
+    )
+    return pd.DataFrame([row])
+
+
+def _q_pip_docs(sf_dir: str):
+    import ray
+
+    from .sources import tables
+    from .stages import pip
+
+    keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey"]).column("n_nationkey").to_numpy()
+    ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    return tables.docs_geo(sf_dir).map_batches(
+        pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"poly_ref": ref, "res": RES},
+        concurrency=2, batch_size=4096,
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from .sources import tables
+    from .stages import text
+
+    return text.token_count(tables.read_table(sf_dir, "documents",
+                                              columns=["doc_id", "text"]))
+
+
+def _q_text_stats(sf_dir: str):
+    from .sources import tables
+    from .stages import text
+
+    return text.text_stats(tables.read_table(sf_dir, "documents",
+                                             columns=["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from .sources import tables
+    from .stages import text
+
+    return tables.read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text.LangIdActor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, batch_size=1024,
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from .sources import tables
+    from .stages import dedup
+
+    return dedup.dedup_exact(tables.read_table(sf_dir, "documents",
+                                               columns=["doc_id", "text"]))
+
+
+def _q_simhash(sf_dir: str):
+    from .sources import tables
+    from .stages import dedup
+
+    return dedup.simhash(tables.read_table(sf_dir, "documents",
+                                           columns=["doc_id", "text"]))
+
+
+def _q_fingerprint(sf_dir: str):
+    from .sources import tables
+    from .stages import text
+
+    return text.fingerprint(tables.read_table(sf_dir, "documents",
+                                              columns=["doc_id", "text"]))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from .sources import tables
+    from .stages import dedup
+
+    return dedup.minhash_lsh_pairs(tables.read_table(sf_dir, "documents",
+                                                     columns=["doc_id", "text"]))
+
+
+def _ann_queries(sf_dir: str) -> dict[str, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vec_id = t.column("vec_id").to_numpy()
+    mask = np.isin(vec_id, workload.ANN_QUERY_IDS)
+    flat = t.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    m = flat.reshape(len(vec_id), -1)
+    return {"query_id": vec_id[mask].astype(np.int64), "matrix": m[mask]}
+
+
+def _q_ann_cosine(sf_dir: str):
+    from .sources import tables
+    from .stages import ann
+
+    return ann.cosine_topk(tables.read_table(sf_dir, "embeddings",
+                                             columns=["vec_id", "embedding"]),
+                           _ann_queries(sf_dir), k=workload.ANN_K)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from .sources import tables
+    from .stages import ann
+
+    return ann.lsh_bucketed_topk(tables.read_table(sf_dir, "embeddings",
+                                                   columns=["vec_id", "embedding"]),
+                                 _ann_queries(sf_dir), k=workload.ANN_K)
+
+
+def _q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        g = pd.DataFrame({"event_type": et, "hour": hour}).groupby(
+            ["event_type", "hour"], as_index=False
+        ).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour": pa.array(g["hour"].to_numpy()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+def _q_media_features(sf_dir: str):
+    from .sources import synth
+    from .stages import multimodal
+
+    return multimodal.media_features(synth.interleaved_docs(500), decode="fake")
+
+
+def _q_flagship_spans(sf_dir: str):
+    from .pipelines import flagship
+
+    out = flagship.flagship(sf_dir=sf_dir, n_docs=1000)
+    return out.select_columns(["doc_id", "cell_id", "zone_id", "rnk", "d2"])
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
+def entry() -> Any:
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    from .pipelines import flagship
+
+    return flagship.flagship(sf_dir="/root/testdata/sf0.001", n_docs=2000)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # spatial core (locus parity)
+        "tile_assign": _q_tile_assign,
+        "tile_counts": _q_tile_counts,
+        "hilbert_rank": _q_hilbert_rank,
+        "zone_contains_doc": _q_zone_contains_doc,
+        "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
+        "find_box_docs": _q_find_box_docs,
+        "zone_subsets": _q_zone_subsets,
+        "zone_supersets": _q_zone_supersets,
+        "knn_zones": _q_knn_zones,
+        "knn_zones_shuffle": _q_knn_zones_shuffle,
+        "nearest_zone": _q_nearest_zone,
+        "knn_docs": _q_knn_docs,
+        "nearest_doc": _q_nearest_doc,
+        "snap_to_segment": _q_snap_to_segment,
+        "knn_segments_to_point": _q_knn_segments_to_point,
+        "zone_bounds": _q_zone_bounds,
+        "pip_docs": _q_pip_docs,
+        "flagship_spans": _q_flagship_spans,
+        # training-data ops
+        "token_count": _q_token_count,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "simhash_docs": _q_simhash,
+        "fingerprint_docs": _q_fingerprint,
+        "minhash_pairs": _q_minhash_pairs,
+        "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+        # relational breadth
+        "events_hourly": _q_events_hourly,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    docs = derive.sql_docs_geo()
+    zones = derive.sql_zones()
+    segs = derive.sql_segments()
+    qp = workload.sql_query_points()
+    qb = workload.sql_query_boxes()
+
+    knn_zones_sql = f"""
+    WITH d AS ({docs}), z AS ({zones}),
+    scored AS (SELECT d.doc_id, z.zone_id, {_BOX_D2} AS d2 FROM d CROSS JOIN z),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, zone_id) AS rnk
+               FROM scored)
+    SELECT doc_id, zone_id, rnk, d2 FROM ranked WHERE rnk <= {workload.K_ZONES}
+    """
+
+    contains_sql = f"""
+    WITH d AS ({docs}), z AS ({zones})
+    SELECT d.doc_id, z.zone_id FROM d JOIN z
+    ON d.x >= z.min_x AND d.x <= z.max_x AND d.y >= z.min_y AND d.y <= z.max_y
+    """
+
+    return {
+        "tile_assign": f"""
+            WITH g AS ({_sql_grid()})
+            SELECT doc_id, x, y, ix, iy, (ix // {_SHIFT_DIV}) * {_AXIS} + (iy // {_SHIFT_DIV}) AS cell_id
+            FROM g
+        """,
+        "tile_counts": f"""
+            WITH g AS ({_sql_grid()})
+            SELECT (ix // {_SHIFT_DIV}) * {_AXIS} + (iy // {_SHIFT_DIV}) AS cell_id,
+                   COUNT(*) AS n_docs
+            FROM g GROUP BY 1
+        """,
+        "zone_contains_doc": contains_sql,
+        "zone_contains_doc_shuffle": contains_sql,
+        "find_box_docs": f"""
+            WITH d AS ({docs})
+            SELECT qb.query_id, d.doc_id FROM d CROSS JOIN {qb}
+            WHERE d.x >= qb.qmin_x AND d.x <= qb.qmax_x
+              AND d.y >= qb.qmin_y AND d.y <= qb.qmax_y
+        """,
+        "zone_subsets": f"""
+            WITH z AS ({zones})
+            SELECT qb.query_id, z.zone_id FROM z CROSS JOIN {qb}
+            WHERE z.min_x >= qb.qmin_x AND z.max_x <= qb.qmax_x
+              AND z.min_y >= qb.qmin_y AND z.max_y <= qb.qmax_y
+        """,
+        "zone_supersets": f"""
+            WITH z AS ({zones})
+            SELECT qb.query_id, z.zone_id FROM z CROSS JOIN {qb}
+            WHERE qb.qmin_x >= z.min_x AND qb.qmax_x <= z.max_x
+              AND qb.qmin_y >= z.min_y AND qb.qmax_y <= z.max_y
+        """,
+        "knn_zones": knn_zones_sql,
+        "knn_zones_shuffle": knn_zones_sql,
+        "nearest_zone": f"""
+            WITH d AS ({docs}), z AS ({zones}),
+            scored AS (SELECT d.doc_id, z.zone_id, {_BOX_D2} AS d2 FROM d CROSS JOIN z),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, zone_id) AS rnk
+                       FROM scored)
+            SELECT doc_id, zone_id, d2 FROM ranked WHERE rnk = 1
+        """,
+        "knn_docs": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT qp.query_id, d.doc_id,
+                       (d.x - qp.qx) * (d.x - qp.qx) + (d.y - qp.qy) * (d.y - qp.qy) AS d2
+                       FROM d CROSS JOIN {qp}),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rnk
+                       FROM scored)
+            SELECT query_id, doc_id, rnk, d2 FROM ranked WHERE rnk <= {workload.K_DOCS}
+        """,
+        "nearest_doc": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT qp.query_id, d.doc_id,
+                       (d.x - qp.qx) * (d.x - qp.qx) + (d.y - qp.qy) * (d.y - qp.qy) AS d2
+                       FROM d CROSS JOIN {qp}),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rnk
+                       FROM scored)
+            SELECT query_id, doc_id, d2 FROM ranked WHERE rnk = 1
+        """,
+        "snap_to_segment": f"""
+            WITH d AS ({docs}), s AS ({segs}),
+            scored AS (SELECT d.doc_id, s.segment_id, {_seg_point_d2('d.x', 'd.y')} AS d2
+                       FROM d CROSS JOIN s),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, segment_id) AS rnk
+                       FROM scored)
+            SELECT doc_id, segment_id, d2 FROM ranked WHERE rnk = 1
+        """,
+        "knn_segments_to_point": f"""
+            WITH s AS ({segs}),
+            scored AS (SELECT qp.query_id, s.segment_id, {_seg_point_d2('qp.qx', 'qp.qy')} AS d2
+                       FROM s CROSS JOIN {qp}),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, segment_id) AS rnk
+                       FROM scored)
+            SELECT query_id, segment_id, rnk, d2 FROM ranked WHERE rnk <= {workload.K_SEGMENTS}
+        """,
+        "zone_bounds": f"""
+            WITH z AS ({zones})
+            SELECT MIN(min_x) AS min_x, MAX(max_x) AS max_x,
+                   MIN(min_y) AS min_y, MAX(max_y) AS max_y FROM z
+        """,
+        "token_count": """
+            SELECT doc_id, LENGTH(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   LENGTH(string_split(text, ' ')) AS n_tokens,
+                   CAST(LENGTH(text) - (LENGTH(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / CAST(LENGTH(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+                   LENGTH(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ann_cosine": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id IN ({', '.join(map(str, workload.ANN_QUERY_IDS))})),
+            s AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(e.embedding, q.qe) AS c
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+                  FROM s)
+            SELECT query_id, vec_id, rnk FROM r WHERE rnk <= {workload.ANN_K}
+        """,
+        "events_hourly": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+    }

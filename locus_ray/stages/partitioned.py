@@ -1,0 +1,223 @@
+"""Shuffle-based spatial joins for build sides too large to broadcast.
+
+These are the all-to-all variants of the broadcast stages in
+:mod:`locus_ray.stages.spatial`, built on ``Dataset.join`` (hash
+partitioned on the cell key) with *explicit skew handling*:
+
+1. docs get ``cell_id`` (home cell) — one row each;
+2. zones explode to their cell cover — one row per (zone, cell);
+3. hot cells (doc count above threshold) are *salted*: doc key space
+   inside a hot cell splits into S sub-keys, and the zone side
+   replicates its rows for each salt — bounding the largest join
+   partition at ~threshold docs (the north rule's "skew salting of
+   hot tiles");
+4. inner hash join on the (salted) cell key;
+5. vectorized exact refine (containment or distance);
+6. for kNN: per-doc top-k merge (``groupby(doc).map_groups``) with a
+   ring-bound completeness check — the small set of docs whose kth
+   neighbor is NOT provably inside the searched rings is re-probed
+   against the broadcast index (ring-expansion re-probe, SURVEY.md §7.6;
+   at realistic densities this is a fraction of a percent of rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..cells import cover_boxes, grid_coords
+from ..config import DEFAULT_CELL_RES, WORLD_H, WORLD_W
+from ..kernels import box_point_squared_distance, contains_point
+
+
+def _doc_cells(ds, res: int, x_col="x", y_col="y"):
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        ix, iy = grid_coords(x, y)
+        shift = 16 - res
+        cid = (ix >> shift) * (1 << res) + (iy >> shift)
+        return batch.append_column("cell_id", pa.array(cid))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _zone_cover(zones, res: int, pad_rings: int = 0):
+    """Explode zones to (cell_id, zone geometry) cover rows."""
+    pad = pad_rings * min(WORLD_W, WORLD_H) / (1 << res)
+
+    def f(batch: pa.Table) -> pa.Table:
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        row, cell = cover_boxes(mnx, mxx, mny, mxy, res, pad=pad)
+        t = batch.take(pa.array(row))
+        return t.append_column("cell_id", pa.array(cell))
+
+    return zones.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
+    """cell_id -> salt fan-out for cells above ``threshold`` docs.
+
+    One tiny aggregate shuffle over (cell_id) partial counts; the
+    result is a small driver-side dict (hot cells are few by
+    definition), broadcast into the salting stages.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cid, cnt = np.unique(
+            batch.column("cell_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt)})
+
+    counts = (
+        docs_with_cells.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hot = counts[counts["n"] > threshold]
+    return {
+        int(c): int(-(-n // threshold)) for c, n in zip(hot["cell_id"], hot["n"])
+    }
+
+
+def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
+                             num_partitions: int = 32,
+                             hot_threshold: int | None = None,
+                             carry: tuple[str, ...] = ("doc_id",)):
+    """Containment join via hash shuffle on (salted) cell id."""
+    d = _doc_cells(docs, res)
+    z = _zone_cover(zones, res)
+
+    if hot_threshold is not None:
+        salts = detect_hot_cells(d, hot_threshold)
+        if salts:
+            ref = ray.put(salts)
+
+            def salt_docs(batch: pa.Table) -> pa.Table:
+                sm = ray.get(ref)
+                cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+                fan = np.asarray([sm.get(int(c), 1) for c in cid], dtype=np.int64)
+                # deterministic sub-key from row position within batch
+                salt = np.arange(len(cid), dtype=np.int64) % fan
+                key = cid * 64 + salt  # fan-out capped at 64 below
+                return batch.set_column(
+                    batch.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
+                )
+
+            def salt_zones(batch: pa.Table) -> pa.Table:
+                sm = ray.get(ref)
+                cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+                fan = np.asarray([min(sm.get(int(c), 1), 64) for c in cid], dtype=np.int64)
+                row = np.repeat(np.arange(len(cid), dtype=np.int64), fan)
+                starts = np.concatenate(([0], np.cumsum(fan)[:-1]))
+                salt = np.arange(int(fan.sum()), dtype=np.int64) - np.repeat(starts, fan)
+                t = batch.take(pa.array(row))
+                key = cid[row] * 64 + salt
+                return t.set_column(
+                    t.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
+                )
+
+            d = d.map_batches(salt_docs, batch_format="pyarrow", zero_copy_batch=True)
+            z = z.map_batches(salt_zones, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = d.join(z, "inner", num_partitions, on=("cell_id",))
+
+    def refine(batch: pa.Table) -> pa.Table:
+        ok = contains_point(
+            batch.column("min_x").to_numpy(zero_copy_only=False),
+            batch.column("max_x").to_numpy(zero_copy_only=False),
+            batch.column("min_y").to_numpy(zero_copy_only=False),
+            batch.column("max_y").to_numpy(zero_copy_only=False),
+            batch.column("x").to_numpy(zero_copy_only=False),
+            batch.column("y").to_numpy(zero_copy_only=False),
+        )
+        return batch.filter(pa.array(ok)).select([*carry, "zone_id"])
+
+    return joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
+                         res: int = DEFAULT_CELL_RES, pad_rings: int = 1,
+                         num_partitions: int = 32,
+                         carry: tuple[str, ...] = ("doc_id",)):
+    """kNN join via cell-cover candidate shuffle + ring-bound fallback.
+
+    Main path: zones explode their cover padded by ``pad_rings`` rings;
+    docs join candidates on home cell; per-doc top-k merge.  Docs whose
+    kth distance exceeds the searched-ring guarantee (or with < k
+    candidates) are re-probed exactly via the broadcast
+    :class:`GridKnn` (ring expansion continues from scratch for that
+    small remainder).
+    """
+    from ..grid_index import GridKnn
+
+    d = _doc_cells(docs, res)
+    z = _zone_cover(zones, res, pad_rings=pad_rings)
+    joined = d.join(z, "inner", num_partitions, on=("cell_id",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        d2 = box_point_squared_distance(
+            batch.column("min_x").to_numpy(zero_copy_only=False),
+            batch.column("max_x").to_numpy(zero_copy_only=False),
+            batch.column("min_y").to_numpy(zero_copy_only=False),
+            batch.column("max_y").to_numpy(zero_copy_only=False),
+            batch.column("x").to_numpy(zero_copy_only=False),
+            batch.column("y").to_numpy(zero_copy_only=False),
+        )
+        return batch.select([*carry, "x", "y", "zone_id"]).append_column("d2", pa.array(d2))
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    min_cell = min(WORLD_W, WORLD_H) / (1 << res)
+    bound = (pad_rings * min_cell) ** 2
+
+    def topk(group):
+        import pandas as pd
+
+        g = group.sort_values(["d2", "zone_id"]).head(k).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["complete"] = (len(g) >= k) and (g["d2"].iloc[-1] <= bound)
+        return g
+
+    merged = scored.groupby(list(carry)).map_groups(topk, batch_format="pandas")
+    parts = merged.to_pandas()
+
+    done = parts[parts["complete"]]
+    incomplete_keys = parts.loc[~parts["complete"], list(carry)].drop_duplicates()
+    # docs with zero candidates never reached `merged`; recover them too
+    all_docs = docs.select_columns([*carry, "x", "y"]).to_pandas()
+    seen = set(map(tuple, parts[list(carry)].drop_duplicates().values.tolist()))
+    missing = all_docs[~all_docs[list(carry)].apply(tuple, axis=1).isin(seen)]
+    redo_keys = set(map(tuple, incomplete_keys.values.tolist())) | set(
+        map(tuple, missing[list(carry)].values.tolist())
+    )
+    if redo_keys:
+        redo = all_docs[all_docs[list(carry)].apply(tuple, axis=1).isin(redo_keys)]
+        g = GridKnn(
+            "box",
+            {k_: v for k_, v in zones_broadcast_payload.items() if k_ != "ids"},
+            zones_broadcast_payload["ids"], res,
+        )
+        ids, dd = g.query(redo["x"].to_numpy(), redo["y"].to_numpy(), k)
+        import pandas as pd
+
+        found = ids >= 0
+        src = np.repeat(np.arange(len(redo)), found.sum(axis=1))
+        ranks = np.tile(np.arange(k), len(redo)).reshape(len(redo), k)[found]
+        extra = pd.DataFrame({
+            **{c: redo[c].to_numpy()[src] for c in carry},
+            "zone_id": ids[found],
+            "d2": dd[found],
+            "rnk": ranks + 1,
+        })
+        import pandas as pd
+
+        out = pd.concat([done[[*carry, "zone_id", "d2", "rnk"]], extra], ignore_index=True)
+    else:
+        out = done[[*carry, "zone_id", "d2", "rnk"]]
+    return out

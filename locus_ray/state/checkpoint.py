@@ -1,0 +1,84 @@
+"""Resumable partitioned output with per-partition lineage manifests.
+
+The north rule requires "per-partition lineage and metrics checkpointed
+so any stage resumes from the last completed fragment".  Batch engines
+get this from the output layout, not from operator state:
+
+* the corpus is partitioned into key ranges (Hilbert-prefix shards);
+* each shard writes to its own directory ATOMICALLY (write to
+  ``_tmp-<shard>``, fsync, rename) plus a ``done/<shard>.json``
+  lineage record (input fragment, row count, stage metrics, wall time);
+* on restart, :func:`completed_shards` lists the done records and the
+  driver simply skips those shards — work resumes from the last
+  completed fragment with no partial output visible to readers.
+
+Shards are processed as independent Ray Data pipelines over disjoint
+inputs, so a failure loses at most one shard's work.  This module is
+deliberately tiny and filesystem-portable (object stores offer the
+same rename-or-marker idiom).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+
+def shard_dir(out_dir: str, shard: str) -> str:
+    return os.path.join(out_dir, f"shard={shard}")
+
+
+def completed_shards(out_dir: str) -> set[str]:
+    done = os.path.join(out_dir, "done")
+    if not os.path.isdir(done):
+        return set()
+    return {f[:-5] for f in os.listdir(done) if f.endswith(".json")}
+
+
+def run_shard(out_dir: str, shard: str, build: Callable[[], "object"],
+              lineage: dict | None = None) -> dict:
+    """Execute one shard pipeline resumably.
+
+    ``build()`` returns the shard's Dataset; it is written to the shard
+    directory atomically and a lineage record is dropped in ``done/``.
+    Returns the lineage record (existing one if already complete).
+    """
+    os.makedirs(os.path.join(out_dir, "done"), exist_ok=True)
+    marker = os.path.join(out_dir, "done", f"{shard}.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+
+    tmp = os.path.join(out_dir, f"_tmp-{shard}")
+    final = shard_dir(out_dir, shard)
+    shutil.rmtree(tmp, ignore_errors=True)
+    t0 = time.time()
+    ds = build()
+    ds.write_parquet(tmp)
+    n_rows = sum(
+        _parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp)
+        if f.endswith(".parquet")
+    )
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    record = {
+        "shard": shard,
+        "rows": int(n_rows),
+        "wall_sec": time.time() - t0,
+        "completed_at": time.time(),
+        **(lineage or {}),
+    }
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump(record, f)
+    os.rename(tmp_marker, marker)
+    return record
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
