@@ -113,7 +113,7 @@ def _q_zone_contains_doc(sf_dir: str):
     return tables.docs_geo(sf_dir).map_batches(
         spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"zones_ref": ref, "res": RES},
-        concurrency=4, batch_size=4096,
+        concurrency=(1, 4), batch_size=4096,
     )
 
 
@@ -160,7 +160,7 @@ def _knn(sf_dir: str, kind: str, payload_fn, k: int, id_out: str,
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": ref, "kind": kind, "res": RES, "k": k,
                                "id_out": id_out},
-        concurrency=4, batch_size=4096,
+        concurrency=(1, 4), batch_size=4096,
     )
     if not with_rank:
         out = out.drop_columns(["rnk"])
@@ -271,7 +271,7 @@ def _q_pip_docs(sf_dir: str):
     return tables.docs_geo(sf_dir).map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": ref, "res": RES},
-        concurrency=2, batch_size=4096,
+        concurrency=(1, 2), batch_size=4096,
     )
 
 
@@ -297,7 +297,7 @@ def _q_lang_id(sf_dir: str):
 
     return tables.read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         text.LangIdActor, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, batch_size=1024,
+        concurrency=(1, 2), batch_size=1024,
     )
 
 

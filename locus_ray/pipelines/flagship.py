@@ -24,7 +24,7 @@ from ..stages import spatial
 
 
 def flagship(sf_dir: str | None = None, n_docs: int = 2000, res: int = DEFAULT_CELL_RES,
-             k: int = 3, concurrency: int = 4, batch_size: int = 4096,
+             k: int = 3, concurrency=(1, 4), batch_size: int = 4096,
              docs=None):
     """Returns the flagship result Dataset:
     (doc_id, spans, cell_id, hilbert_key, zone_id, rnk, d2, in_zone)."""

@@ -74,7 +74,7 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
         CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"queries_ref": ref, "k": k,
                                "id_col": id_col, "vec_col": vec_col},
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def merge(group):
@@ -152,7 +152,7 @@ def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
             })
 
     partials = ds.map_batches(BucketScore, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=4)
+                              zero_copy_batch=True, concurrency=(1, 4))
 
     def merge(group):
         g = group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)

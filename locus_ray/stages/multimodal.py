@@ -71,7 +71,7 @@ class MediaFeatureActor:
 
 
 def media_features(docs, decode: str = "fake", dim: int = 16,
-                   concurrency: int = 4, batch_size: int = 512):
+                   concurrency=(1, 4), batch_size: int = 512):
     """Actor-pool media feature extraction over interleaved docs.
 
     Small ``batch_size`` on purpose: media rows are wide; a batch x

@@ -1,0 +1,231 @@
+"""End-to-end Ray pipeline tests: span passthrough, flagship shape,
+stage behavior, checkpoint resume."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF
+
+
+def test_flagship_span_passthrough(ray_session):
+    """Every surviving row's span sequence is byte-identical to the
+    input (the BASELINE.json input_hint invariant)."""
+    from locus_ray.pipelines import flagship
+    from locus_ray.sources import synth
+
+    docs = synth.interleaved_docs(300)
+    in_tab = docs.to_pandas().set_index("doc_id")
+    in_sig = {}
+    import pyarrow as pa
+
+    docs2 = synth.interleaved_docs(300)
+    tab = pa.Table.from_pandas(docs2.to_pandas())
+    sigs = synth.span_signature(tab.column("spans"))
+    for d, s in zip(tab.column("doc_id").to_pylist(), sigs):
+        in_sig[d] = s
+
+    out = flagship.flagship(sf_dir=SF, n_docs=300, k=2).to_pandas()
+    assert len(out) == 600  # every doc gets k=2 neighbors
+    out_tab = pa.Table.from_pandas(out)
+    out_sigs = synth.span_signature(out_tab.column("spans"))
+    for d, s in zip(out_tab.column("doc_id").to_pylist(), out_sigs):
+        assert in_sig[d] == s
+
+
+def test_assign_tiles_matches_library(ray_session):
+    import ray.data as rd
+
+    from locus_ray.cells import cell_id, grid_coords
+    from locus_ray.hilbert import hilbert_index
+    from locus_ray.stages import spatial
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-180, 180, 500)
+    y = rng.uniform(-90, 90, 500)
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({"x": x, "y": y}))
+    out = spatial.assign_tiles(ds, res=8).to_pandas()
+    ix, iy = grid_coords(x, y)
+    assert np.array_equal(out["ix"].to_numpy(), ix)
+    assert np.array_equal(out["iy"].to_numpy(), iy)
+    assert np.array_equal(out["cell_id"].to_numpy(), cell_id(x, y, 8))
+    assert np.array_equal(
+        out["hilbert_key"].to_numpy(),
+        hilbert_index(ix.astype(np.uint32), iy.astype(np.uint32)).astype(np.int64),
+    )
+
+
+def test_pip_join_vs_brute_force(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from locus_ray.kernels import points_in_polygon
+    from locus_ray.stages import pip
+
+    payload = pip.polygon_payload(np.arange(12))
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-180, 180, 800)
+    y = rng.uniform(-90, 90, 800)
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(800), "x": x, "y": y}))
+    ref = ray.put(payload)
+    out = ds.map_batches(
+        pip.PipJoinActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"poly_ref": ref, "res": 8},
+        concurrency=1, batch_size=400,
+    ).to_pandas()
+    got = set(zip(out["doc_id"], out["polygon_id"]))
+    exp = set()
+    for p in payload["polygons"]:
+        ok = points_in_polygon(p["ring_x"], p["ring_y"], x, y)
+        for i in np.where(ok)[0]:
+            exp.add((i, p["polygon_id"]))
+    assert got == exp
+
+
+def test_dedup_exact_with_planted_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "unique"]
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(6, dtype=np.int64), "text": texts}))
+    out = dedup.dedup_exact(ds).to_pandas()
+    assert len(out) == 4
+    assert set(out["keep_id"]) == {0, 1, 3, 5}
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    rng = np.random.default_rng(9)
+    others = [" ".join(rng.choice(list("abcdefghij"), 40)) for _ in range(20)]
+    texts = [base, near, *others]
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                                 "text": texts}))
+    pairs = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.4).to_pandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_simhash_identical_texts_equal(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["same words here", "same words here", "totally different content"],
+    }))
+    out = dedup.simhash(ds).to_pandas().sort_values("doc_id")
+    v = out["simhash"].tolist()
+    assert v[0] == v[1] != v[2]
+
+
+def test_ann_cosine_vs_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import ann
+
+    rng = np.random.default_rng(13)
+    m = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": list(m),
+    }))
+    queries = {"query_id": np.array([0, 1]), "matrix": m[:2].astype(np.float64)}
+    out = ann.cosine_topk(ds, queries, k=5).to_pandas()
+    mm = m.astype(np.float64)
+    mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = mn @ mn[qi]
+        exp = np.lexsort((np.arange(300), -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rnk")["vec_id"].to_numpy()
+        assert np.array_equal(got, exp)
+
+
+def test_ann_lsh_recall(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import ann
+
+    rng = np.random.default_rng(14)
+    m = rng.standard_normal((500, 32)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(500, dtype=np.int64),
+        "embedding": list(m),
+    }))
+    queries = {"query_id": np.array([7]), "matrix": m[7:8].astype(np.float64)}
+    out = ann.lsh_bucketed_topk(ds, queries, k=5).to_pandas()
+    # the query vector itself must always be retrieved (same bucket)
+    assert 7 in set(out["vec_id"])
+
+
+def test_media_features_stub(ray_session):
+    from locus_ray.sources import synth
+    from locus_ray.stages import multimodal
+
+    docs = synth.interleaved_docs(100)
+    out = multimodal.media_features(docs, decode="fake", dim=8).to_pandas()
+    assert set(out["kind"]) <= {"image", "audio", "table"}
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic: same ref -> same feature
+    one = out[out["media_ref"] == out["media_ref"].iloc[0]]
+    assert len({tuple(f) for f in one["feature"]}) == 1
+
+
+def test_media_features_real_raises():
+    from locus_ray.stages.multimodal import MediaFeatureActor
+
+    actor = MediaFeatureActor(decode="real")
+    with pytest.raises(NotImplementedError):
+        actor._decode_one("media://image/1")
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from locus_ray.state import checkpoint
+
+    out = str(tmp_path / "out")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return rd.range(100)
+
+    r1 = checkpoint.run_shard(out, "s0", build)
+    assert r1["rows"] == 100
+    # second run: skipped (resumes from completed fragment)
+    r2 = checkpoint.run_shard(out, "s0", build)
+    assert calls["n"] == 1
+    assert checkpoint.completed_shards(out) == {"s0"}
+
+
+def test_partitioned_contain_join_with_salting(ray_session):
+    from locus_ray.sources import tables
+    from locus_ray.stages import partitioned, spatial
+    import ray
+
+    docs = tables.docs_geo(SF)
+    zones = tables.zones_ds(SF)
+    got = partitioned.contain_join_partitioned(
+        docs, zones, res=8, num_partitions=4, hot_threshold=50
+    ).to_pandas()
+    # broadcast path is the oracle here
+    ref = ray.put(tables.zones_payload(SF))
+    exp = tables.docs_geo(SF).map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"zones_ref": ref, "res": 8},
+        concurrency=1,
+    ).to_pandas()
+    assert set(zip(got["doc_id"], got["zone_id"])) == set(zip(exp["doc_id"], exp["zone_id"]))
