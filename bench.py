@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Runs the headline spatial pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+The headline is the flagship spatial chain — tile assignment (cell
+encode + Hilbert rank), kNN join to the zone layer (k=3, broadcast
+actor pool), containment join — over a deterministic synthetic
+interleaved-doc corpus (N_DOCS docs, spans carried through), with the
+zone/segment layers derived from the sf tables.
+
+``--scaling``: runs the same bench twice in FRESH processes at 8 and
+32 CPUs on the same input and reports both throughputs plus scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DOCS = int(os.environ.get("BENCH_DOCS", 2_000_000))
+CORPUS_DIR = "/tmp/locus_ray_bench"
+
+
+def ensure_corpus(n: int) -> str:
+    """Deterministic corpus parquet (generated once, outside timing)."""
+    path = os.path.join(CORPUS_DIR, f"docs_{n}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    from locus_ray.sources import synth
+
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    tmp = path + "_tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    synth.interleaved_docs(n, override_num_blocks=max(32, n // 100_000)).write_parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_bench(sf_dir: str, ncpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from locus_ray.sources import tables
+    from locus_ray.stages import partitioned, pip, spatial
+
+    corpus = ensure_corpus(N_DOCS)
+    pool = max(2, ncpus - 2)  # fixed pool: leave CPUs for the read stage
+
+    zones_ref = ray.put(tables.zones_payload(sf_dir))
+    segs_ref = ray.put(tables.segments_payload(sf_dir))
+
+    def docs():
+        return rd.read_parquet(corpus, columns=["doc_id", "doc_key", "x", "y"])
+
+    # warm the page cache (untimed)
+    docs().count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: tile assignment (cell encode + hilbert)
+    timed("tile_assign", lambda: spatial.assign_tiles(docs(), res=8).count())
+
+    # q2: kNN join docs -> 3 nearest zones (broadcast actor pool)
+    timed("knn_zones", lambda: docs().map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
+                               "k": 3, "id_out": "zone_id"},
+        concurrency=pool, batch_size=8192,
+    ).count())
+
+    # q3: containment join (broadcast)
+    timed("contain_join", lambda: docs().map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"zones_ref": zones_ref, "res": 8},
+        concurrency=pool, batch_size=8192,
+    ).count())
+
+    # q4: snap-to-network (nearest segment)
+    timed("snap_to_segment", lambda: docs().map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": segs_ref, "kind": "segment", "res": 8,
+                               "k": 1, "id_out": "segment_id"},
+        concurrency=pool, batch_size=8192,
+    ).count())
+
+    # q5: shuffle-based containment join (Dataset.join on cell_id, salted)
+    timed("contain_join_shuffle", lambda: partitioned.contain_join_partitioned(
+        docs(), tables.zones_ds(sf_dir), res=8,
+        num_partitions=max(16, ncpus), hot_threshold=200_000,
+    ).count())
+
+    # q6: PIP raster+refine join vs 25 polygons
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey"]).column("n_nationkey").to_numpy()
+    poly_ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    timed("pip_docs", lambda: docs().map_batches(
+        pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8},
+        concurrency=pool, batch_size=8192,
+    ).count())
+
+    headline = queries["tile_assign"] + queries["knn_zones"] + queries["contain_join"]
+    result = {
+        "metric": "flagship spatial chain (tile_assign + knn_zones + contain_join) wall sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+        "n_docs": N_DOCS,
+        "docs_per_sec": round(3 * N_DOCS / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = 3 * N_DOCS / r_lo["value"]
+    tput_hi = 3 * N_DOCS / r_hi["value"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": round(tput_lo, 1),
+        "docs_per_sec_32": round(tput_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "n_docs": N_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+        print(json.dumps(run_bench(sf_dir, ncpus)))

@@ -1,0 +1,184 @@
+"""locus-style convenience API over the engine's index structures.
+
+A user of the reference's in-memory API (``locus.kd.Tree``,
+``locus.r.Tree``, ``locus.segmental.Tree``) can switch to these classes
+with the same call shapes: items are ``(id, geometry)`` pairs, queries
+offer the item/index/geometry projections, ``n >= size`` returns all
+items, empty kd-tree ``nearest_*`` raises ``ValueError``.
+
+Differences (documented, per SURVEY.md §2.6): distance ties resolve to
+the SMALLEST id deterministically (the reference's tie winner is a
+traversal artifact and differs between its own r/segmental variants,
+locus/r.py:603 vs locus/segmental.py:521); all scalars are float64
+(the reference's exact-``Fraction`` contexts are out of scope for the
+distributed engine — boundary predicates remain exact because closed /
+strict comparisons on float64 inputs are exact when the inputs are the
+stored values themselves).
+
+Geometries are plain tuples: Point ``(x, y)``, Box ``(min_x, max_x,
+min_y, max_y)`` (the reference's construction order, README.md:68),
+Segment ``((sx, sy), (ex, ey))``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from .index import KDTree, PackedRTree, SegmentTree
+
+Point = tuple[float, float]
+Box = tuple[float, float, float, float]
+Segment = tuple[Point, Point]
+
+
+class KdTree:
+    """Parity: locus/kd.py:19-55 (build) and its query surface."""
+
+    def __init__(self, points: Sequence[Point]):
+        self.points = list(points)
+        xs = np.asarray([p[0] for p in points], dtype=np.float64)
+        ys = np.asarray([p[1] for p in points], dtype=np.float64)
+        self._tree = KDTree(xs, ys)
+
+    # nearest (locus/kd.py:320-374 contract)
+    def nearest_item(self, point: Point) -> tuple[int, Point]:
+        i, _ = self._tree.nearest(point[0], point[1])
+        return i, self.points[i]
+
+    def nearest_index(self, point: Point) -> int:
+        return self.nearest_item(point)[0]
+
+    def nearest_point(self, point: Point) -> Point:
+        return self.nearest_item(point)[1]
+
+    # n_nearest (locus/kd.py:176-253 contract incl. n >= size fast path)
+    def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Point]]:
+        return [(i, self.points[i]) for i, _ in self._tree.n_nearest(n, point[0], point[1])]
+
+    def n_nearest_indices(self, n: int, point: Point) -> list[int]:
+        return [i for i, _ in self.n_nearest_items(n, point)]
+
+    def n_nearest_points(self, n: int, point: Point) -> list[Point]:
+        return [p for _, p in self.n_nearest_items(n, point)]
+
+    # box range (locus/kd.py:449-507 contract, closed box)
+    def find_box_items(self, box: Box) -> list[tuple[int, Point]]:
+        ids = self._tree.find_box(*box)
+        return [(int(i), self.points[int(i)]) for i in ids]
+
+    def find_box_indices(self, box: Box) -> list[int]:
+        return [i for i, _ in self.find_box_items(box)]
+
+    def find_box_points(self, box: Box) -> list[Point]:
+        return [p for _, p in self.find_box_items(box)]
+
+
+class RTree:
+    """Parity: locus/r.py:21-60 (packed Hilbert bulk load) + queries."""
+
+    def __init__(self, boxes: Sequence[Box], max_children: int = 16):
+        if not boxes:
+            raise ValueError("R-tree requires at least one box")
+        self.boxes = list(boxes)
+        arr = np.asarray(boxes, dtype=np.float64)
+        self._tree = PackedRTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+                                 max_children=max_children)
+
+    def nearest_item(self, point: Point) -> tuple[int, Box]:
+        i, _ = self._tree.nearest(point[0], point[1])
+        return i, self.boxes[i]
+
+    def nearest_index(self, point: Point) -> int:
+        return self.nearest_item(point)[0]
+
+    def nearest_box(self, point: Point) -> Box:
+        return self.nearest_item(point)[1]
+
+    def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Box]]:
+        return [(i, self.boxes[i]) for i, _ in self._tree.n_nearest(n, point[0], point[1])]
+
+    def n_nearest_indices(self, n: int, point: Point) -> list[int]:
+        return [i for i, _ in self.n_nearest_items(n, point)]
+
+    def n_nearest_boxes(self, n: int, point: Point) -> list[Box]:
+        return [b for _, b in self.n_nearest_items(n, point)]
+
+    # containment (locus/r.py:120-353 contracts)
+    def find_subsets_items(self, box: Box) -> list[tuple[int, Box]]:
+        return [(int(i), self.boxes[int(i)]) for i in self._tree.find_subsets(*box)]
+
+    def find_subsets_indices(self, box: Box) -> list[int]:
+        return [i for i, _ in self.find_subsets_items(box)]
+
+    def find_subsets(self, box: Box) -> list[Box]:
+        return [b for _, b in self.find_subsets_items(box)]
+
+    def find_supersets_items(self, box: Box) -> list[tuple[int, Box]]:
+        return [(int(i), self.boxes[int(i)]) for i in self._tree.find_supersets(*box)]
+
+    def find_supersets_indices(self, box: Box) -> list[int]:
+        return [i for i, _ in self.find_supersets_items(box)]
+
+    def find_supersets(self, box: Box) -> list[Box]:
+        return [b for _, b in self.find_supersets_items(box)]
+
+
+class SegmentalTree:
+    """Parity: locus/segmental.py:18-77 + the four query families."""
+
+    def __init__(self, segments: Sequence[Segment], max_children: int = 16):
+        if not segments:
+            raise ValueError("segmental tree requires at least one segment")
+        self.segments = list(segments)
+        arr = np.asarray([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segments],
+                         dtype=np.float64)
+        self._tree = SegmentTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+                                 max_children=max_children)
+
+    def nearest_item(self, segment: Segment) -> tuple[int, Segment]:
+        i, _ = self._tree.nearest_to_segment(
+            segment[0][0], segment[0][1], segment[1][0], segment[1][1]
+        )
+        return i, self.segments[i]
+
+    def nearest_index(self, segment: Segment) -> int:
+        return self.nearest_item(segment)[0]
+
+    def nearest_segment(self, segment: Segment) -> Segment:
+        return self.nearest_item(segment)[1]
+
+    def n_nearest_items(self, n: int, segment: Segment) -> list[tuple[int, Segment]]:
+        return [
+            (i, self.segments[i])
+            for i, _ in self._tree.n_nearest_to_segment(
+                n, segment[0][0], segment[0][1], segment[1][0], segment[1][1]
+            )
+        ]
+
+    def n_nearest_indices(self, n: int, segment: Segment) -> list[int]:
+        return [i for i, _ in self.n_nearest_items(n, segment)]
+
+    def n_nearest_segments(self, n: int, segment: Segment) -> list[Segment]:
+        return [s for _, s in self.n_nearest_items(n, segment)]
+
+    def nearest_to_point_item(self, point: Point) -> tuple[int, Segment]:
+        i, _ = self._tree.nearest_to_point(point[0], point[1])
+        return i, self.segments[i]
+
+    def nearest_to_point_index(self, point: Point) -> int:
+        return self.nearest_to_point_item(point)[0]
+
+    def nearest_to_point_segment(self, point: Point) -> Segment:
+        return self.nearest_to_point_item(point)[1]
+
+    def n_nearest_to_point_items(self, n: int, point: Point) -> list[tuple[int, Segment]]:
+        return [(i, self.segments[i])
+                for i, _ in self._tree.n_nearest_to_point(n, point[0], point[1])]
+
+    def n_nearest_to_point_indices(self, n: int, point: Point) -> list[int]:
+        return [i for i, _ in self.n_nearest_to_point_items(n, point)]
+
+    def n_nearest_to_point_segments(self, n: int, point: Point) -> list[Segment]:
+        return [s for _, s in self.n_nearest_to_point_items(n, point)]

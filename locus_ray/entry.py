@@ -391,6 +391,127 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_knn_docs_self(sf_dir: str):
+    """doc -> doc kNN self-join (K2 shape at corpus scale)."""
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(tables.docs_payload(sf_dir))
+    return tables.docs_geo(sf_dir).map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": ref, "kind": "point", "res": RES,
+                               "k": 3, "id_out": "neighbor_id"},
+        concurrency=(1, 4), batch_size=4096,
+    )
+
+
+def _q_events_sessionize(sf_dir: str):
+    """Gap-based session windows (30 min) per user over the events log.
+
+    Stream-shaped workload: partition by key, order by time within the
+    group, stateful windowing in map_groups (the engine's answer to
+    the reference's absent streaming surface — SURVEY.md §2.7)."""
+    from .sources import tables
+
+    ev = tables.read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessionize(g):
+        import pandas as pd
+
+        us = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        brk = np.ones(len(us), dtype=np.int64)
+        brk[1:] = (np.diff(us) > 1_800_000_000).astype(np.int64)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame({"user_id": g["user_id"].iloc[0], "session_id": sid,
+                           "us": us})
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def _q_customer_orders(sf_dir: str):
+    """Broadcast dimension join: orders count per market segment."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(lookup)
+
+    class SegmentJoin:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            seg = [self.lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+            g = pd.Series(seg).value_counts()
+            return pa.table({
+                "c_mktsegment": pa.array(g.index.astype(str)),
+                "n": pa.array(g.to_numpy().astype(np.int64)),
+            })
+
+    orders = tables.read_table(sf_dir, "orders", columns=["o_custkey"])
+    return (
+        orders.map_batches(SegmentJoin, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 2))
+        .groupby("c_mktsegment").aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+
+def _q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact, broadcast full matrix).
+
+    At this corpus size the exact all-pairs path is the right call;
+    the LSH-bucketed variant (ann_lsh) is the scale path."""
+    import ray
+
+    from .sources import tables
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vec_id = t.column("vec_id").to_numpy().astype(np.int64)
+    flat = t.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    m = flat.reshape(len(vec_id), -1)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put({"ids": vec_id, "matrix": mn})
+
+    class DupPairs:
+        def __init__(self):
+            p = ray.get(ref)
+            self.ids = p["ids"]
+            self.mn = p["matrix"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .stages.ann import _as_matrix
+
+            mm = _as_matrix(batch.column("embedding"))
+            mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+            bid = batch.column("vec_id").to_numpy().astype(np.int64)
+            sims = mm @ self.mn.T
+            r, c = np.nonzero((sims >= 0.8) & (bid[:, None] < self.ids[None, :]))
+            return pa.table({
+                "vec_a": pa.array(bid[r]),
+                "vec_b": pa.array(self.ids[c]),
+            })
+
+    return tables.read_table(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"]).map_batches(
+        DupPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
+
+
 def _q_media_features(sf_dir: str):
     from .sources import synth
     from .stages import multimodal
@@ -447,9 +568,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "embed_dup_pairs": _q_embed_dup_pairs,
         "media_features": _q_media_features,
-        # relational breadth
+        "knn_docs_self": _q_knn_docs_self,
+        # relational / streaming breadth
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "customer_orders": _q_customer_orders,
     }
 
 
@@ -584,5 +709,33 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "knn_docs_self": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT a.doc_id, b.doc_id AS neighbor_id,
+                       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+                       FROM d a CROSS JOIN d b),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT doc_id, neighbor_id, rnk, d2 FROM ranked WHERE rnk <= 3
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            l AS (SELECT user_id, us,
+                  CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            s AS (SELECT user_id, us,
+                  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM l)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "customer_orders": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
     }

@@ -1,20 +1,29 @@
-"""Batched kNN engine: vectorized ring expansion over grid-cell buckets.
+"""Batched kNN / containment engines over grid-cell buckets.
 
 This is the engine's distributed answer to the reference's per-query
 best-first heap searches (locus/kd.py:320-374, locus/r.py:557-635,
 locus/segmental.py:477-737): instead of walking a pointer tree per
-query row, a whole Arrow batch of query points advances through
-Chebyshev rings of grid cells, scoring *all* candidates of a ring with
-one vectorized kernel call and merging into running per-point top-k
-arrays with one lexsort.  No Python loop over rows — the only loop is
-over rings (a handful of iterations for realistic densities).
+query row, a whole Arrow batch of query points is resolved with a few
+fully-vectorized passes — no Python loop over rows.
 
-Correctness bound: after searching ring r (all cells within Chebyshev
-distance r of a point's home cell), any unseen geometry lies in a cell
-at Chebyshev >= r+1 and therefore at squared distance >=
-(r * min(cell_w, cell_h))^2 from the point; a point is finished once
-it holds k candidates whose worst distance is <= that bound.  This is
-the ring-expansion re-probe invariant promised in SURVEY.md §7.6.
+Two-population design (the skew answer for "one huge zone covers half
+the world"):
+
+* geometries whose cell cover at the working resolution exceeds
+  ``LARGE_COVER_CELLS`` go to a **dense side**: they are few by
+  construction, and every batch scores them with ONE broadcast kernel
+  call (a (batch x n_large) matrix) — far cheaper than letting them
+  inflate every cell bucket;
+* everything else lives in **CSR cell buckets** probed by Chebyshev
+  ring expansion in geometrically growing world-radius rounds
+  ([0..1], (1..3], (3..7] cells...), so most points finish after one
+  gather+merge pass.
+
+Correctness bound (ring-expansion invariant, SURVEY.md §7.6): after a
+round of world radius R the dense side is fully scored and every
+unseen bucket geometry lies only in cells at Chebyshev > r = ceil(R /
+min_cell), hence at squared distance >= (r * min_cell)^2 >= R^2; a
+point retires once it holds k candidates at or below that bound.
 
 The same engine serves build sides of points (doc->doc kNN, K1/K2),
 boxes (doc->zone kNN, R1/R2), and segments (snap-to-network, S3/S4) —
@@ -23,25 +32,85 @@ only the scorer differs.  Ties break on smallest id (SURVEY.md §2.6).
 
 from __future__ import annotations
 
-from typing import Callable, Literal
+from typing import Literal
 
 import numpy as np
 
-from .cells import cover_boxes, grid_coords
-from .config import SQUARE_SIZE, WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
+from .config import WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
 from .kernels import (
     box_point_squared_distance,
+    contains_point,
     points_squared_distance,
     segment_point_squared_distance,
 )
+
+LARGE_COVER_CELLS = 64  # cover bigger than this -> dense side
+
+
+def _bbox_of(kind: str, g: dict[str, np.ndarray]):
+    if kind == "point":
+        return g["x"], g["x"], g["y"], g["y"]
+    if kind == "box":
+        return g["min_x"], g["max_x"], g["min_y"], g["max_y"]
+    return (
+        np.minimum(g["start_x"], g["end_x"]),
+        np.maximum(g["start_x"], g["end_x"]),
+        np.minimum(g["start_y"], g["end_y"]),
+        np.maximum(g["start_y"], g["end_y"]),
+    )
+
+
+class _Buckets:
+    """CSR cell -> member-position buckets at one resolution."""
+
+    __slots__ = ("axis", "cells", "offsets", "members")
+
+    def __init__(self, res: int, mnx, mxx, mny, mxy, rows: np.ndarray):
+        self.axis = 1 << res
+        cx_lo = np.clip(np.floor((mnx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
+        cx_hi = np.clip(np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
+        cy_lo = np.clip(np.floor((mny - WORLD_MIN_Y) / WORLD_H * self.axis), 0, self.axis - 1).astype(np.int64)
+        cy_hi = np.clip(np.floor((mxy - WORLD_MIN_Y) / WORLD_H * self.axis), 0, self.axis - 1).astype(np.int64)
+        nx = cx_hi - cx_lo + 1
+        ny = cy_hi - cy_lo + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        out_rows = np.repeat(rows, counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        ny_r = np.repeat(ny, counts)
+        cx = np.repeat(cx_lo, counts) + local // ny_r
+        cy = np.repeat(cy_lo, counts) + local % ny_r
+        cells = cx * self.axis + cy
+        order = np.argsort(cells, kind="stable")
+        self.cells, idx = np.unique(cells[order], return_index=True)
+        self.offsets = np.append(idx, len(cells))
+        self.members = out_rows[order]
+
+    def lookup(self, cell_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(caller_row, member_position) pairs for flat cell ids."""
+        if not len(self.cells) or not len(cell_ids):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        loc = np.searchsorted(self.cells, cell_ids)
+        loc_c = np.minimum(loc, len(self.cells) - 1)
+        hit = self.cells[loc_c] == cell_ids
+        counts = np.where(hit, self.offsets[loc_c + 1] - self.offsets[loc_c], 0)
+        total = int(counts.sum())
+        src = np.repeat(np.arange(len(cell_ids), dtype=np.int64), counts)
+        if total == 0:
+            return src, np.empty(0, dtype=np.int64)
+        starts = self.offsets[loc_c]
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        return src, self.members[np.repeat(starts, counts) + local]
 
 
 class GridKnn:
     """Build-once/query-many grid index over points, boxes or segments.
 
-    Designed to be built once per actor (``__init__`` of a map_batches
-    actor class) from a broadcast (``ray.put``) payload of numpy
-    arrays, then probed per batch.
+    Built once per actor (``__init__`` of a map_batches actor class)
+    from a broadcast (``ray.put``) payload of numpy arrays, then probed
+    per batch.
     """
 
     def __init__(
@@ -59,33 +128,33 @@ class GridKnn:
         self.cell_h = WORLD_H / self.n_cells_axis
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
 
+        mnx, mxx, mny, mxy = _bbox_of(kind, self.g)
+        n = len(self.ids)
+        rows = np.arange(n, dtype=np.int64)
         if kind == "point":
-            ix, iy = grid_coords(self.g["x"], self.g["y"])
-            shift = 16 - res
-            row_idx = np.arange(len(self.ids), dtype=np.int64)
-            cells = (ix >> shift) * self.n_cells_axis + (iy >> shift)
-        elif kind == "box":
-            row_idx, cells = cover_boxes(
-                self.g["min_x"], self.g["max_x"], self.g["min_y"], self.g["max_y"], res
-            )
-        else:  # segment: cover by endpoint bbox (conservative and exact for refine)
-            row_idx, cells = cover_boxes(
-                np.minimum(self.g["start_x"], self.g["end_x"]),
-                np.maximum(self.g["start_x"], self.g["end_x"]),
-                np.minimum(self.g["start_y"], self.g["end_y"]),
-                np.maximum(self.g["start_y"], self.g["end_y"]),
-                res,
-            )
+            large = np.zeros(n, dtype=bool)
+        else:
+            nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.n_cells_axis) - np.floor(
+                (mnx - WORLD_MIN_X) / WORLD_W * self.n_cells_axis
+            ) + 1
+            ny = np.floor((mxy - WORLD_MIN_Y) / WORLD_H * self.n_cells_axis) - np.floor(
+                (mny - WORLD_MIN_Y) / WORLD_H * self.n_cells_axis
+            ) + 1
+            large = (nx * ny) > LARGE_COVER_CELLS
+        self.large_pos = rows[large]
+        small = ~large
+        self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small], mxy[small],
+                                rows[small])
 
-        # CSR-style cell buckets: sorted unique cells + offsets into members
-        order = np.argsort(cells, kind="stable")
-        self._bucket_cells, starts = np.unique(cells[order], return_index=True)
-        self._bucket_offsets = np.append(starts, len(cells))
-        self._bucket_members = row_idx[order]
+    @property
+    def size(self) -> int:
+        return len(self.ids)
 
     # -- scoring -------------------------------------------------------------
 
-    def _score(self, pos: np.ndarray, qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    def _score(self, pos: np.ndarray, qx, qy) -> np.ndarray:
+        """Squared distance of geometries at ``pos`` vs queries
+        (broadcasting: pos/qx/qy shapes must broadcast together)."""
         g = self.g
         if self.kind == "point":
             return points_squared_distance(g["x"][pos], g["y"][pos], qx, qy)
@@ -97,205 +166,194 @@ class GridKnn:
             g["start_x"][pos], g["start_y"][pos], g["end_x"][pos], g["end_y"][pos], qx, qy
         )
 
-    # -- bucket lookup -------------------------------------------------------
-
-    def _candidates_for_cells(self, cell_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(query_row_of_cell, member_pos) pairs for a flat list of cells
-        (cell_ids[i] belongs to query row given by caller alignment)."""
-        loc = np.searchsorted(self._bucket_cells, cell_ids)
-        loc_clipped = np.minimum(loc, len(self._bucket_cells) - 1)
-        hit = self._bucket_cells[loc_clipped] == cell_ids
-        counts = np.where(
-            hit,
-            self._bucket_offsets[loc_clipped + 1] - self._bucket_offsets[loc_clipped],
-            0,
-        )
-        total = int(counts.sum())
-        src = np.repeat(np.arange(len(cell_ids), dtype=np.int64), counts)
-        if total == 0:
-            return src, np.empty(0, dtype=np.int64)
-        starts = self._bucket_offsets[loc_clipped]
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        local = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
-        member_idx = np.repeat(starts, counts) + local
-        return src, self._bucket_members[member_idx]
-
     # -- query ---------------------------------------------------------------
 
     def query(
-        self, qx: np.ndarray, qy: np.ndarray, k: int, max_ring: int | None = None
+        self, qx: np.ndarray, qy: np.ndarray, k: int, first_ring: int = 1,
+        dense_chunk: int = 2048,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (ids, squared distances) per query point.
+        """Top-k (ids, squared distances) per query point, ties by id.
 
-        Returns ``(ids[n, k], d2[n, k])`` padded with (-1, inf) when the
-        build side has fewer than k geometries.
+        Precondition: query points lie inside the world box (the
+        fixture domain guarantees it); out-of-box points still get
+        exact distances but pay extra rounds.
+
+        Returns ``(ids[n, k], d2[n, k])`` padded with (-1, inf) when
+        the build side has fewer than k geometries.
         """
         qx = np.asarray(qx, dtype=np.float64)
         qy = np.asarray(qy, dtype=np.float64)
         n = len(qx)
-        if max_ring is None:
-            max_ring = self.n_cells_axis  # full sweep worst case
-        ix, iy = grid_coords(qx, qy)
-        shift = 16 - self.res
-        hcx = (ix >> shift).astype(np.int64)
-        hcy = (iy >> shift).astype(np.int64)
+        min_cell = min(self.cell_w, self.cell_h)
+        kk = min(k, self.size)
 
         best_id = np.full((n, k), -1, dtype=np.int64)
         best_d = np.full((n, k), np.inf, dtype=np.float64)
         n_found = np.zeros(n, dtype=np.int64)
 
+        # 1) dense side: one broadcast kernel call per chunk, exact+complete
+        if len(self.large_pos):
+            lp = self.large_pos
+            l_ids = self.ids[lp]
+            kd = min(k, len(lp))
+            for s in range(0, n, dense_chunk):
+                e = min(s + dense_chunk, n)
+                d = self._score(lp[None, :], qx[s:e, None], qy[s:e, None])  # (c, m)
+                if kd < len(lp):
+                    part = np.argpartition(d, kd - 1, axis=1)[:, :kd]
+                else:
+                    part = np.broadcast_to(np.arange(len(lp)), (e - s, len(lp)))
+                pd = np.take_along_axis(d, part, axis=1)
+                pids = l_ids[part]
+                # per-row sort by (d, id): stable argsort on id, then on d
+                o1 = np.argsort(pids, axis=1, kind="stable")
+                pd1 = np.take_along_axis(pd, o1, axis=1)
+                pids1 = np.take_along_axis(pids, o1, axis=1)
+                o2 = np.argsort(pd1, axis=1, kind="stable")
+                best_d[s:e, :kd] = np.take_along_axis(pd1, o2, axis=1)
+                best_id[s:e, :kd] = np.take_along_axis(pids1, o2, axis=1)
+            n_found[:] = kd
+
+        # 2) bucket side: ring expansion in geometric world-radius rounds
         active = np.arange(n, dtype=np.int64)
-        min_cell = min(self.cell_w, self.cell_h)
-        ring = 0
-        while len(active) and ring <= max_ring:
-            # cells at Chebyshev distance exactly `ring` from each active home
-            acx = hcx[active]
-            acy = hcy[active]
-            if ring == 0:
-                rows = np.arange(len(active), dtype=np.int64)
-                cand_cx = acx
-                cand_cy = acy
-            else:
-                offs = _ring_offsets(ring)
-                rows = np.repeat(np.arange(len(active), dtype=np.int64), len(offs))
-                cand_cx = (acx[:, None] + offs[:, 0][None, :]).ravel()
-                cand_cy = (acy[:, None] + offs[:, 1][None, :]).ravel()
-                valid = (
-                    (cand_cx >= 0) & (cand_cx < self.n_cells_axis)
-                    & (cand_cy >= 0) & (cand_cy < self.n_cells_axis)
-                )
-                rows = rows[valid]
-                cand_cx = cand_cx[valid]
-                cand_cy = cand_cy[valid]
-            cell_ids = cand_cx * self.n_cells_axis + cand_cy
-            src_row, pos = self._candidates_for_cells(cell_ids)
-            q_row = rows[src_row]  # index into `active`
+        axis = self.n_cells_axis
+        hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * axis), 0, axis - 1).astype(np.int64)
+        hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * axis), 0, axis - 1).astype(np.int64)
+
+        r_prev = -1
+        r_new = min(first_ring, axis)
+        while len(active):
+            offs = _annulus_offsets(r_prev, r_new)
+            rows = np.repeat(np.arange(len(active), dtype=np.int64), len(offs))
+            ccx = (hcx[active][:, None] + offs[:, 0][None, :]).ravel()
+            ccy = (hcy[active][:, None] + offs[:, 1][None, :]).ravel()
+            valid = (ccx >= 0) & (ccx < axis) & (ccy >= 0) & (ccy < axis)
+            rows = rows[valid]
+            cell_ids = ccx[valid] * axis + ccy[valid]
+            src, pos = self.buckets.lookup(cell_ids)
+            q_row = rows[src]
 
             if len(pos):
-                d2 = self._score(pos, qx[active][q_row], qy[active][q_row])
+                ax = qx[active]
+                ay = qy[active]
+                d2 = self._score(pos, ax[q_row], ay[q_row])
                 cand_ids = self.ids[pos]
-                # merge candidates with current best: flatten current best
-                # (found entries are packed left, so the mask is row-prefix)
+                cur_rows = np.repeat(np.arange(len(active), dtype=np.int64), n_found[active])
                 cur_mask = best_id[active] >= 0
-                cur_rows = np.repeat(
-                    np.arange(len(active), dtype=np.int64), n_found[active]
-                )
-                flat_best_id = best_id[active][cur_mask]
-                flat_best_d = best_d[active][cur_mask]
-
                 all_rows = np.concatenate((cur_rows, q_row))
-                all_ids = np.concatenate((flat_best_id, cand_ids))
-                all_d = np.concatenate((flat_best_d, d2))
+                all_ids = np.concatenate((best_id[active][cur_mask], cand_ids))
+                all_d = np.concatenate((best_d[active][cur_mask], d2))
                 order = np.lexsort((all_ids, all_d, all_rows))
                 all_rows = all_rows[order]
                 all_ids = all_ids[order]
                 all_d = all_d[order]
-                # drop duplicate (row, id) pairs (box seen via several cells)
                 if len(all_rows) > 1:
-                    dup = np.zeros(len(all_rows), dtype=bool)
-                    dup[1:] = (all_rows[1:] == all_rows[:-1]) & (all_ids[1:] == all_ids[:-1])
-                    keep_first = ~dup
-                    all_rows = all_rows[keep_first]
-                    all_ids = all_ids[keep_first]
-                    all_d = all_d[keep_first]
-                # rank within row, keep rank < k
+                    keep = np.ones(len(all_rows), dtype=bool)
+                    keep[1:] = ~((all_rows[1:] == all_rows[:-1]) & (all_ids[1:] == all_ids[:-1]))
+                    all_rows = all_rows[keep]
+                    all_ids = all_ids[keep]
+                    all_d = all_d[keep]
                 row_start = np.searchsorted(all_rows, np.arange(len(active)))
                 rank = np.arange(len(all_rows)) - row_start[all_rows]
-                keep = rank < k
-                kr = all_rows[keep]
-                kk = rank[keep]
-                bd = np.full((len(active), k), np.inf)
+                sel = rank < k
+                kr = all_rows[sel]
+                kcol = rank[sel]
                 bi = np.full((len(active), k), -1, dtype=np.int64)
-                bi[kr, kk] = all_ids[keep]
-                bd[kr, kk] = all_d[keep]
+                bd = np.full((len(active), k), np.inf)
+                bi[kr, kcol] = all_ids[sel]
+                bd[kr, kcol] = all_d[sel]
                 best_id[active] = bi
                 best_d[active] = bd
                 n_found[active] = np.bincount(kr, minlength=len(active))
 
-            # retire points that are provably done
-            if ring >= 1:
-                bound = (ring * min_cell) ** 2
-                done = (n_found[active] >= min(k, self.size)) & (
-                    best_d[active][:, min(k, self.size) - 1] <= bound
-                )
-                active = active[~done]
-            ring += 1
+            if r_new >= axis:
+                break  # bucket grid fully swept
+            bound = (r_new * min_cell) ** 2
+            done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] <= bound)
+            active = active[~done]
+            r_prev = r_new
+            r_new = min(2 * r_new + 1, axis)
         return best_id, best_d
 
-    @property
-    def size(self) -> int:
-        return len(self.ids)
 
-
-def _ring_offsets(r: int) -> np.ndarray:
-    """(dx, dy) offsets of the square ring at Chebyshev distance r."""
-    side = np.arange(-r, r + 1, dtype=np.int64)
-    top = np.stack((side, np.full_like(side, -r)), axis=1)
-    bot = np.stack((side, np.full_like(side, r)), axis=1)
-    mid = np.arange(-r + 1, r, dtype=np.int64)
-    left = np.stack((np.full_like(mid, -r), mid), axis=1)
-    right = np.stack((np.full_like(mid, r), mid), axis=1)
-    return np.concatenate((top, bot, left, right))
+def _annulus_offsets(r_lo: int, r_hi: int) -> np.ndarray:
+    """(dx, dy) offsets with Chebyshev distance in (r_lo, r_hi]."""
+    side = np.arange(-r_hi, r_hi + 1, dtype=np.int64)
+    ox, oy = np.meshgrid(side, side, indexing="ij")
+    cheb = np.maximum(np.abs(ox), np.abs(oy))
+    m = cheb > r_lo
+    return np.stack((ox[m], oy[m]), axis=1)
 
 
 class GridContain:
     """Batched point->containing-boxes lookup (the R4 'which zones
     contain this doc' shape, locus/r.py:307-353, distributed).
 
-    Two-level semantics per the north rule: cell prefilter (cover
-    buckets) then exact closed containment refine
-    (locus/_core/box.py:21-27 semantics).  A box covers each cell at
-    most once and a point has one home cell, so candidate pairs are
-    already unique — no dedup pass needed.
+    Two-level semantics per the north rule: cell prefilter (bucket
+    cover for normal zones, dense side for oversized ones) then exact
+    closed containment refine (locus/_core/box.py:21-27 semantics).
+    Candidate pairs are unique by construction: a box covers a cell at
+    most once, a point has one home cell, and the dense side is
+    disjoint from the bucket side.
     """
 
     def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int):
         self.ids = np.asarray(ids, dtype=np.int64)
         self.res = res
-        self.n_cells_axis = 1 << res
+        self.axis = 1 << res
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
-        row_idx, cells = cover_boxes(
-            self.g["min_x"], self.g["max_x"], self.g["min_y"], self.g["max_y"], res
-        )
-        order = np.argsort(cells, kind="stable")
-        self._bucket_cells, starts = np.unique(cells[order], return_index=True)
-        self._bucket_offsets = np.append(starts, len(cells))
-        self._bucket_members = row_idx[order]
+        mnx, mxx, mny, mxy = (self.g["min_x"], self.g["max_x"],
+                              self.g["min_y"], self.g["max_y"])
+        n = len(self.ids)
+        rows = np.arange(n, dtype=np.int64)
+        nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis) - np.floor(
+            (mnx - WORLD_MIN_X) / WORLD_W * self.axis
+        ) + 1
+        ny = np.floor((mxy - WORLD_MIN_Y) / WORLD_H * self.axis) - np.floor(
+            (mny - WORLD_MIN_Y) / WORLD_H * self.axis
+        ) + 1
+        large = (nx * ny) > LARGE_COVER_CELLS
+        self.large_pos = rows[large]
+        small = ~large
+        self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small], mxy[small],
+                                rows[small])
 
-    def query(self, qx: np.ndarray, qy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def query(self, qx: np.ndarray, qy: np.ndarray, dense_chunk: int = 4096
+              ) -> tuple[np.ndarray, np.ndarray]:
         """(query_row, box_id) pairs where box contains point (closed)."""
-        from .kernels import contains_point
-
         qx = np.asarray(qx, dtype=np.float64)
         qy = np.asarray(qy, dtype=np.float64)
-        ix, iy = grid_coords(qx, qy)
-        shift = 16 - self.res
-        cell_ids = (ix >> shift) * self.n_cells_axis + (iy >> shift)
-
-        loc = np.searchsorted(self._bucket_cells, cell_ids)
-        loc_clipped = np.minimum(loc, max(len(self._bucket_cells) - 1, 0))
-        hit = (
-            self._bucket_cells[loc_clipped] == cell_ids
-            if len(self._bucket_cells)
-            else np.zeros(len(cell_ids), dtype=bool)
-        )
-        counts = np.where(
-            hit,
-            self._bucket_offsets[loc_clipped + 1] - self._bucket_offsets[loc_clipped],
-            0,
-        )
-        total = int(counts.sum())
-        src = np.repeat(np.arange(len(qx), dtype=np.int64), counts)
-        if total == 0:
-            return src, np.empty(0, dtype=np.int64)
-        starts = self._bucket_offsets[loc_clipped]
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        local = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
-        pos = self._bucket_members[np.repeat(starts, counts) + local]
-
+        n = len(qx)
         g = self.g
-        ok = contains_point(
-            g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
-            qx[src], qy[src],
-        )
-        return src[ok], self.ids[pos[ok]]
+        out_src = []
+        out_ids = []
+
+        # bucket side
+        hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
+        hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * self.axis), 0, self.axis - 1).astype(np.int64)
+        src, pos = self.buckets.lookup(hcx * self.axis + hcy)
+        if len(pos):
+            ok = contains_point(
+                g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
+                qx[src], qy[src],
+            )
+            out_src.append(src[ok])
+            out_ids.append(self.ids[pos[ok]])
+
+        # dense side: broadcast containment mask per chunk
+        if len(self.large_pos):
+            lp = self.large_pos
+            for s in range(0, n, dense_chunk):
+                e = min(s + dense_chunk, n)
+                m = contains_point(
+                    g["min_x"][lp][None, :], g["max_x"][lp][None, :],
+                    g["min_y"][lp][None, :], g["max_y"][lp][None, :],
+                    qx[s:e, None], qy[s:e, None],
+                )
+                r, c = np.nonzero(m)
+                out_src.append(r + s)
+                out_ids.append(self.ids[lp[c]])
+
+        if not out_src:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_src), np.concatenate(out_ids)

@@ -56,8 +56,12 @@ class PipJoinActor:
         self.x_col, self.y_col, self.carry = x_col, y_col, carry
         n_axis = 1 << res
 
-        # rasterize: per polygon, classify covered cells full / edge
-        cell_map: dict[int, list[tuple[int, bool]]] = {}
+        # rasterize: per polygon, classify covered cells full / edge,
+        # then flatten into CSR (cell -> [(poly, is_full)]) arrays so the
+        # per-batch probe is a pure searchsorted gather
+        entries_cell: list[int] = []
+        entries_poly: list[int] = []
+        entries_full: list[bool] = []
         for p_idx, p in enumerate(self.polys):
             rx, ry = p["ring_x"], p["ring_y"]
             row_idx, cells = cover_boxes(
@@ -71,10 +75,19 @@ class PipJoinActor:
                 )
                 edge_crosses = _ring_intersects_box(rx, ry, a, b, cdy, d)
                 if corners_in.all() and not edge_crosses:
-                    cell_map.setdefault(int(c), []).append((p_idx, True))
+                    entries_cell.append(int(c))
+                    entries_poly.append(p_idx)
+                    entries_full.append(True)
                 elif corners_in.any() or edge_crosses:
-                    cell_map.setdefault(int(c), []).append((p_idx, False))
-        self.cell_map = cell_map
+                    entries_cell.append(int(c))
+                    entries_poly.append(p_idx)
+                    entries_full.append(False)
+        cells_arr = np.asarray(entries_cell, dtype=np.int64)
+        order = np.argsort(cells_arr, kind="stable")
+        self._cells, starts = np.unique(cells_arr[order], return_index=True)
+        self._offsets = np.append(starts, len(cells_arr))
+        self._poly = np.asarray(entries_poly, dtype=np.int64)[order]
+        self._full = np.asarray(entries_full, dtype=bool)[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
@@ -82,26 +95,40 @@ class PipJoinActor:
         ix, iy = grid_coords(x, y)
         shift = 16 - self.res
         cells = (ix >> shift) * (1 << self.res) + (iy >> shift)
-        src_out, pid_out = [], []
-        # group rows by (polygon, full/edge) via the cell map
-        by_poly_exact: dict[int, list[int]] = {}
-        for i, c in enumerate(cells):
-            for p_idx, full in self.cell_map.get(int(c), ()):
-                if full:
-                    src_out.append(i)
-                    pid_out.append(self.polys[p_idx]["polygon_id"])
-                else:
-                    by_poly_exact.setdefault(p_idx, []).append(i)
-        for p_idx, rows in by_poly_exact.items():
-            rows = np.asarray(rows, dtype=np.int64)
+
+        # CSR gather: candidate (point, poly-entry) pairs
+        if len(self._cells):
+            loc = np.searchsorted(self._cells, cells)
+            loc_c = np.minimum(loc, len(self._cells) - 1)
+            hit = self._cells[loc_c] == cells
+            counts = np.where(hit, self._offsets[loc_c + 1] - self._offsets[loc_c], 0)
+            src = np.repeat(np.arange(len(x), dtype=np.int64), counts)
+            starts = self._offsets[loc_c]
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs, counts)
+            entry = np.repeat(starts, counts) + local
+        else:
+            src = np.empty(0, dtype=np.int64)
+            entry = np.empty(0, dtype=np.int64)
+
+        poly = self._poly[entry]
+        full = self._full[entry]
+        out_src = [src[full]]
+        out_poly = [poly[full]]
+        # exact refine, grouped per polygon (few polygons -> short loop)
+        e_src = src[~full]
+        e_poly = poly[~full]
+        for p_idx in np.unique(e_poly):
+            rows = e_src[e_poly == p_idx]
             p = self.polys[p_idx]
             ok = points_in_polygon(p["ring_x"], p["ring_y"], x[rows], y[rows])
-            for r in rows[ok]:
-                src_out.append(int(r))
-                pid_out.append(p["polygon_id"])
-        src = np.asarray(src_out, dtype=np.int64)
-        cols = {c: batch.column(c).take(pa.array(src)) for c in self.carry}
-        cols["polygon_id"] = pa.array(np.asarray(pid_out, dtype=np.int64))
+            out_src.append(rows[ok])
+            out_poly.append(np.full(int(ok.sum()), p_idx, dtype=np.int64))
+        src_all = np.concatenate(out_src)
+        poly_all = np.concatenate(out_poly)
+        pid = np.asarray([p["polygon_id"] for p in self.polys], dtype=np.int64)
+        cols = {c: batch.column(c).take(pa.array(src_all)) for c in self.carry}
+        cols["polygon_id"] = pa.array(pid[poly_all])
         return pa.table(cols)
 
 
