@@ -67,6 +67,11 @@ class _Buckets:
 
     def __init__(self, res: int, mnx, mxx, mny, mxy, rows: np.ndarray):
         self.axis = 1 << res
+        if len(rows) == 0:
+            self.cells = np.empty(0, dtype=np.int64)
+            self.offsets = np.zeros(1, dtype=np.int64)
+            self.members = np.empty(0, dtype=np.int64)
+            return
         cx_lo = np.clip(np.floor((mnx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
         cx_hi = np.clip(np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
         cy_lo = np.clip(np.floor((mny - WORLD_MIN_Y) / WORLD_H * self.axis), 0, self.axis - 1).astype(np.int64)

@@ -88,10 +88,65 @@ def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
 def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
                              num_partitions: int = 32,
                              hot_threshold: int | None = None,
-                             carry: tuple[str, ...] = ("doc_id",)):
-    """Containment join via hash shuffle on (salted) cell id."""
+                             carry: tuple[str, ...] = ("doc_id",),
+                             large_cover_cells: int = 64):
+    """Containment join via hash shuffle on (salted) cell id.
+
+    Hybrid skew handling: zones whose cell cover exceeds
+    ``large_cover_cells`` would explode the shuffle (every doc in every
+    covered cell joins them), so they are pulled out and probed via a
+    broadcast :class:`GridContain` branch instead — the "broadcast the
+    small side, shuffle the rest" rule applied per geometry.  The two
+    branches union to the final (carry..., zone_id) rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..grid_index import GridContain
+    from .spatial import ContainJoinActor
+
+    # split the zone layer by cover size (streamed, vectorized)
+    def tag_cover(batch: pa.Table) -> pa.Table:
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        axis = 1 << res
+        nx = np.floor((mxx + 180.0) / 360.0 * axis) - np.floor((mnx + 180.0) / 360.0 * axis) + 1
+        ny = np.floor((mxy + 90.0) / 180.0 * axis) - np.floor((mny + 90.0) / 180.0 * axis) + 1
+        return batch.append_column("big", pa.array((nx * ny) > large_cover_cells))
+
+    tagged = zones.map_batches(tag_cover, batch_format="pyarrow", zero_copy_batch=True)
+    # the big side is tiny by construction -> safe to collect for broadcast
+    big_chunks = list(
+        tagged.map_batches(
+            lambda t: t.filter(t.column("big")).drop_columns(["big"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    broadcast_branch = None
+    if big_chunks and sum(len(c) for c in big_chunks):
+        big_tab = pa.concat_tables(big_chunks)
+        big_payload = {
+            "ids": big_tab.column("zone_id").to_numpy().astype(np.int64),
+            "min_x": big_tab.column("min_x").to_numpy(zero_copy_only=False),
+            "max_x": big_tab.column("max_x").to_numpy(zero_copy_only=False),
+            "min_y": big_tab.column("min_y").to_numpy(zero_copy_only=False),
+            "max_y": big_tab.column("max_y").to_numpy(zero_copy_only=False),
+        }
+        big_ref = ray.put(big_payload)
+        broadcast_branch = docs.map_batches(
+            ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+            fn_constructor_kwargs={"zones_ref": big_ref, "res": res, "carry": carry},
+            concurrency=(1, 4), batch_size=8192,
+        )
+
+    zones_small = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("big"))).drop_columns(["big"]),
+        batch_format="pyarrow",
+    )
+
     d = _doc_cells(docs, res)
-    z = _zone_cover(zones, res)
+    z = _zone_cover(zones_small, res)
 
     if hot_threshold is not None:
         salts = detect_hot_cells(d, hot_threshold)
@@ -138,7 +193,10 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
         )
         return batch.filter(pa.array(ok)).select([*carry, "zone_id"])
 
-    return joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+    out = joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+    if broadcast_branch is not None:
+        out = out.union(broadcast_branch)
+    return out
 
 
 def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
@@ -156,8 +214,31 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     """
     from ..grid_index import GridKnn
 
+    # hybrid skew split (see contain_join_partitioned): oversized zones
+    # are scored densely inside the per-doc top-k merge; only normal
+    # zones flow through the cover-explode shuffle.
+    axis = 1 << res
+    p = zones_broadcast_payload
+    nx = np.floor((p["max_x"] + 180.0) / 360.0 * axis) - np.floor(
+        (p["min_x"] + 180.0) / 360.0 * axis) + 1
+    ny = np.floor((p["max_y"] + 90.0) / 180.0 * axis) - np.floor(
+        (p["min_y"] + 90.0) / 180.0 * axis) + 1
+    big_mask = (nx * ny) > 64
+    bp = {k_: np.ascontiguousarray(v[big_mask]) for k_, v in p.items()}
+
+    def drop_big(batch: pa.Table) -> pa.Table:
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        bnx = np.floor((mxx + 180.0) / 360.0 * axis) - np.floor((mnx + 180.0) / 360.0 * axis) + 1
+        bny = np.floor((mxy + 90.0) / 180.0 * axis) - np.floor((mny + 90.0) / 180.0 * axis) + 1
+        return batch.filter(pa.array((bnx * bny) <= 64))
+
+    zones_small = zones.map_batches(drop_big, batch_format="pyarrow", zero_copy_batch=True)
+
     d = _doc_cells(docs, res)
-    z = _zone_cover(zones, res, pad_rings=pad_rings)
+    z = _zone_cover(zones_small, res, pad_rings=pad_rings)
     joined = d.join(z, "inner", num_partitions, on=("cell_id",))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -179,8 +260,22 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     def topk(group):
         import pandas as pd
 
+        if len(bp["ids"]):
+            # dense-merge the broadcast big zones (exact and complete)
+            qx = group["x"].iloc[0]
+            qy = group["y"].iloc[0]
+            bd2 = box_point_squared_distance(
+                bp["min_x"], bp["max_x"], bp["min_y"], bp["max_y"], qx, qy
+            )
+            big_df = pd.DataFrame({
+                **{c: group[c].iloc[0] for c in carry},
+                "x": qx, "y": qy, "zone_id": bp["ids"], "d2": bd2,
+            })
+            group = pd.concat([group, big_df], ignore_index=True)
         g = group.sort_values(["d2", "zone_id"]).head(k).copy()
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # bound covers only the shuffled (small-zone) side; the dense
+        # side is always complete
         g["complete"] = (len(g) >= k) and (g["d2"].iloc[-1] <= bound)
         return g
 
