@@ -239,18 +239,28 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
     d = _doc_cells(docs, res)
     z = _zone_cover(zones_small, res, pad_rings=pad_rings)
-    joined = d.join(z, "inner", num_partitions, on=("cell_id",))
+    # LEFT OUTER so every doc reaches the top-k merge even with zero
+    # shuffled candidates (null zone rows become -1/inf sentinels)
+    joined = d.join(z, "left_outer", num_partitions, on=("cell_id",))
 
     def score(batch: pa.Table) -> pa.Table:
-        d2 = box_point_squared_distance(
-            batch.column("min_x").to_numpy(zero_copy_only=False),
-            batch.column("max_x").to_numpy(zero_copy_only=False),
-            batch.column("min_y").to_numpy(zero_copy_only=False),
-            batch.column("max_y").to_numpy(zero_copy_only=False),
-            batch.column("x").to_numpy(zero_copy_only=False),
-            batch.column("y").to_numpy(zero_copy_only=False),
-        )
-        return batch.select([*carry, "x", "y", "zone_id"]).append_column("d2", pa.array(d2))
+        import pyarrow.compute as pc
+
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            d2 = box_point_squared_distance(mnx, mxx, mny, mxy, x, y)
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        zid = pc.fill_null(batch.column("zone_id"), -1)
+        return pa.table({
+            **{c: batch.column(c) for c in carry},
+            "x": batch.column("x"), "y": batch.column("y"),
+            "zone_id": zid, "d2": pa.array(d2),
+        })
 
     scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -272,35 +282,42 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                 "x": qx, "y": qy, "zone_id": bp["ids"], "d2": bd2,
             })
             group = pd.concat([group, big_df], ignore_index=True)
-        g = group.sort_values(["d2", "zone_id"]).head(k).copy()
+        group = group.sort_values(["d2", "zone_id"])
+        g = group[group["zone_id"] >= 0].head(k).copy()
+        if len(g) == 0:  # marker row so incomplete docs stay visible
+            g = group.head(1).copy()
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         # bound covers only the shuffled (small-zone) side; the dense
         # side is always complete
-        g["complete"] = (len(g) >= k) and (g["d2"].iloc[-1] <= bound)
-        return g
+        g["complete"] = bool(
+            len(g) >= min(k, len(zones_broadcast_payload["ids"]))
+            and np.isfinite(g["d2"].iloc[-1]) and g["d2"].iloc[-1] <= bound
+        )
+        return g[[*carry, "x", "y", "zone_id", "d2", "rnk", "complete"]]
 
     merged = scored.groupby(list(carry)).map_groups(topk, batch_format="pandas")
-    parts = merged.to_pandas()
 
-    done = parts[parts["complete"]]
-    incomplete_keys = parts.loc[~parts["complete"], list(carry)].drop_duplicates()
-    # docs with zero candidates never reached `merged`; recover them too
-    all_docs = docs.select_columns([*carry, "x", "y"]).to_pandas()
-    seen = set(map(tuple, parts[list(carry)].drop_duplicates().values.tolist()))
-    missing = all_docs[~all_docs[list(carry)].apply(tuple, axis=1).isin(seen)]
-    redo_keys = set(map(tuple, incomplete_keys.values.tolist())) | set(
-        map(tuple, missing[list(carry)].values.tolist())
+    # done branch stays a streaming Dataset; only the (small) incomplete
+    # remainder is collected for the exact broadcast re-probe
+    done = merged.map_batches(
+        lambda t: t.filter(t.column("complete")).select([*carry, "zone_id", "d2", "rnk"]),
+        batch_format="pyarrow",
     )
-    if redo_keys:
-        redo = all_docs[all_docs[list(carry)].apply(tuple, axis=1).isin(redo_keys)]
+    redo = merged.map_batches(
+        lambda t: t.filter(__import__("pyarrow").compute.invert(t.column("complete"))),
+        batch_format="pyarrow",
+    ).select_columns([*carry, "x", "y"]).to_pandas().drop_duplicates(list(carry))
+
+    if len(redo):
+        import pandas as pd
+        import ray.data as rd
+
         g = GridKnn(
             "box",
             {k_: v for k_, v in zones_broadcast_payload.items() if k_ != "ids"},
             zones_broadcast_payload["ids"], res,
         )
         ids, dd = g.query(redo["x"].to_numpy(), redo["y"].to_numpy(), k)
-        import pandas as pd
-
         found = ids >= 0
         src = np.repeat(np.arange(len(redo)), found.sum(axis=1))
         ranks = np.tile(np.arange(k), len(redo)).reshape(len(redo), k)[found]
@@ -308,11 +325,7 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             **{c: redo[c].to_numpy()[src] for c in carry},
             "zone_id": ids[found],
             "d2": dd[found],
-            "rnk": ranks + 1,
+            "rnk": (ranks + 1).astype(np.int64),
         })
-        import pandas as pd
-
-        out = pd.concat([done[[*carry, "zone_id", "d2", "rnk"]], extra], ignore_index=True)
-    else:
-        out = done[[*carry, "zone_id", "d2", "rnk"]]
-    return out
+        done = done.union(rd.from_pandas(extra))
+    return done

@@ -1,0 +1,62 @@
+"""locus-style compat API parity tests (call shapes + contracts)."""
+
+import numpy as np
+import pytest
+
+from locus_ray.compat import KdTree, RTree, SegmentalTree
+
+rng = np.random.default_rng(31)
+
+
+def test_kd_tree_api():
+    pts = [(float(x), float(y)) for x, y in rng.uniform(-10, 10, (50, 2))]
+    t = KdTree(pts)
+    i, p = t.nearest_item((0.0, 0.0))
+    assert p == pts[i]
+    assert t.nearest_index((0.0, 0.0)) == i
+    assert t.nearest_point((0.0, 0.0)) == p
+    items = t.n_nearest_items(5, (0.0, 0.0))
+    assert len(items) == 5
+    assert t.n_nearest_indices(5, (0.0, 0.0)) == [i for i, _ in items]
+    # n >= size returns all (locus/kd.py:216-220 contract)
+    assert len(t.n_nearest_items(100, (0.0, 0.0))) == 50
+    box = (-5.0, 5.0, -5.0, 5.0)
+    got = t.find_box_items(box)
+    exp = [(i, p) for i, p in enumerate(pts)
+           if box[0] <= p[0] <= box[1] and box[2] <= p[1] <= box[3]]
+    assert sorted(got) == sorted(exp)
+
+
+def test_rtree_api():
+    boxes = []
+    for cx, cy in rng.uniform(-10, 10, (40, 2)):
+        w, h = rng.uniform(0.1, 3, 2)
+        boxes.append((float(cx - w), float(cx + w), float(cy - h), float(cy + h)))
+    t = RTree(boxes, max_children=4)
+    i, b = t.nearest_item((0.0, 0.0))
+    assert b == boxes[i]
+    assert len(t.n_nearest_items(7, (0.0, 0.0))) == 7
+    assert len(t.n_nearest_boxes(100, (0.0, 0.0))) == 40
+    world = (-20.0, 20.0, -20.0, 20.0)
+    assert sorted(t.find_subsets_indices(world)) == list(range(40))
+    # every box is a superset of a degenerate box at its center
+    b0 = boxes[0]
+    c = ((b0[0] + b0[1]) / 2, (b0[2] + b0[3]) / 2)
+    assert 0 in t.find_supersets_indices((c[0], c[0], c[1], c[1]))
+    with pytest.raises(ValueError):
+        RTree([])
+
+
+def test_segmental_tree_api():
+    segs = []
+    for sx, sy in rng.uniform(-10, 10, (30, 2)):
+        dx, dy = rng.uniform(0.1, 2, 2)
+        segs.append(((float(sx), float(sy)), (float(sx + dx), float(sy + dy))))
+    t = SegmentalTree(segs)
+    i, s = t.nearest_to_point_item((0.0, 0.0))
+    assert s == segs[i]
+    assert len(t.n_nearest_to_point_items(4, (0.0, 0.0))) == 4
+    q = ((0.0, 0.0), (1.0, 1.0))
+    i2, s2 = t.nearest_item(q)
+    assert s2 == segs[i2]
+    assert len(t.n_nearest_segments(100, q)) == 30
