@@ -27,7 +27,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("BENCH_DOCS", 2_000_000))
+N_DOCS = int(os.environ.get("BENCH_DOCS", 10_000_000))
 CORPUS_DIR = "/tmp/locus_ray_bench"
 
 
@@ -95,7 +95,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
                                "k": 3, "id_out": "zone_id"},
-        concurrency=pool, batch_size=8192,
+        concurrency=pool, batch_size=4096,
     ).count())
 
     # q3: containment join (broadcast)
@@ -114,8 +114,10 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     ).count())
 
     # q5: shuffle-based containment join (Dataset.join on cell_id, salted)
+    # capped slice: the shuffle demo's cost is all-to-all, not per-doc
+    shuffle_docs = min(N_DOCS, 2_000_000)
     timed("contain_join_shuffle", lambda: partitioned.contain_join_partitioned(
-        docs(), tables.zones_ds(sf_dir), res=8,
+        docs().limit(shuffle_docs), tables.zones_ds(sf_dir), res=8,
         num_partitions=max(16, ncpus), hot_threshold=200_000,
     ).count())
 

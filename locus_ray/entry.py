@@ -60,6 +60,53 @@ def _seg_point_d2(px: str, py: str) -> str:
     )"""
 
 
+def _p2s(px: str, py: str, sx: str, sy: str, ex: str, ey: str) -> str:
+    """Generic SQL point-to-segment squared distance (same op order as
+    kernels.segment_point_squared_distance)."""
+    dx = f"({ex} - {sx})"
+    dy = f"({ey} - {sy})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = f"LEAST(GREATEST(((({px} - {sx}) * {dx} + ({py} - {sy}) * {dy}) / {len2}), 0.0), 1.0)"
+    cx = f"({sx} + {t} * {dx})"
+    cy = f"({sy} + {t} * {dy})"
+    return f"(({px} - {cx}) * ({px} - {cx}) + ({py} - {cy}) * ({py} - {cy}))"
+
+
+def _sql_cross(ox, oy, ax, ay, bx, by) -> str:
+    return f"(({ax} - {ox}) * ({by} - {oy}) - ({ay} - {oy}) * ({bx} - {ox}))"
+
+
+def _segseg_d2(a: str, b: str) -> str:
+    """SQL segment-to-segment squared distance between rows aliased
+    ``a`` and ``b`` (columns start_x..end_y) — mirrors
+    kernels.segments_squared_distance: 0 when intersecting (closed),
+    else min of the four endpoint-to-segment distances."""
+    asx, asy, aex, aey = f"{a}.start_x", f"{a}.start_y", f"{a}.end_x", f"{a}.end_y"
+    bsx, bsy, bex, bey = f"{b}.start_x", f"{b}.start_y", f"{b}.end_x", f"{b}.end_y"
+    d1 = _sql_cross(bsx, bsy, bex, bey, asx, asy)
+    d2 = _sql_cross(bsx, bsy, bex, bey, aex, aey)
+    d3 = _sql_cross(asx, asy, aex, aey, bsx, bsy)
+    d4 = _sql_cross(asx, asy, aex, aey, bex, bey)
+
+    def on_seg(sx, sy, ex, ey, px, py):
+        return (f"(LEAST({sx}, {ex}) <= {px} AND {px} <= GREATEST({sx}, {ex})"
+                f" AND LEAST({sy}, {ey}) <= {py} AND {py} <= GREATEST({sy}, {ey}))")
+
+    proper = (f"((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))"
+              f" AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))")
+    touch = (
+        f"(({d1}) = 0 AND {on_seg(bsx, bsy, bex, bey, asx, asy)})"
+        f" OR (({d2}) = 0 AND {on_seg(bsx, bsy, bex, bey, aex, aey)})"
+        f" OR (({d3}) = 0 AND {on_seg(asx, asy, aex, aey, bsx, bsy)})"
+        f" OR (({d4}) = 0 AND {on_seg(asx, asy, aex, aey, bex, bey)})"
+    )
+    dmin = (f"LEAST({_p2s(asx, asy, bsx, bsy, bex, bey)},"
+            f" {_p2s(aex, aey, bsx, bsy, bex, bey)},"
+            f" {_p2s(bsx, bsy, asx, asy, aex, aey)},"
+            f" {_p2s(bex, bey, asx, asy, aex, aey)})")
+    return f"CASE WHEN ({proper}) OR ({touch}) THEN 0.0 ELSE {dmin} END"
+
+
 # ---------------------------------------------------------------------------
 # Ray query callables
 # ---------------------------------------------------------------------------
@@ -391,6 +438,21 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_seg_seg_knn(sf_dir: str):
+    """S1/S2 parity: each segment's 2 nearest other segments."""
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(tables.segments_payload(sf_dir))
+    return tables.segments_ds(sf_dir).map_batches(
+        spatial.SegSegKnnActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"segs_ref": ref, "k": 2},
+        concurrency=(1, 4), batch_size=512,
+    ).select_columns(["segment_id", "neighbor_id", "rnk", "d2"])
+
+
 def _q_knn_docs_self(sf_dir: str):
     """doc -> doc kNN self-join (K2 shape at corpus scale)."""
     import ray
@@ -555,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_doc": _q_nearest_doc,
         "snap_to_segment": _q_snap_to_segment,
         "knn_segments_to_point": _q_knn_segments_to_point,
+        "seg_seg_knn": _q_seg_seg_knn,
         "zone_bounds": _q_zone_bounds,
         "pip_docs": _q_pip_docs,
         "flagship_spans": _q_flagship_spans,
@@ -673,6 +736,16 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, segment_id) AS rnk
                        FROM scored)
             SELECT query_id, segment_id, rnk, d2 FROM ranked WHERE rnk <= {workload.K_SEGMENTS}
+        """,
+        "seg_seg_knn": f"""
+            WITH s0 AS ({segs}),
+            scored AS (SELECT a.segment_id, b.segment_id AS neighbor_id,
+                       {_segseg_d2('a', 'b')} AS d2
+                       FROM s0 a CROSS JOIN s0 b
+                       WHERE a.segment_id <> b.segment_id),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY segment_id ORDER BY d2, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT segment_id, neighbor_id, rnk, d2 FROM ranked WHERE rnk <= 2
         """,
         "zone_bounds": f"""
             WITH z AS ({zones})

@@ -118,6 +118,52 @@ class KnnJoinActor:
         return pa.table(cols)
 
 
+class SegSegKnnActor:
+    """S1/S2-shaped segment->segment kNN join: streaming segments probe
+    a broadcast :class:`SegmentTree` (built once per actor); self-match
+    is excluded by id.  Per-row best-first probes are appropriate here
+    because the streaming side of a segment-to-segment join is itself a
+    dimension-scale layer (networks, not documents)."""
+
+    def __init__(self, segs_ref, k: int, id_col: str = "segment_id",
+                 id_out: str = "neighbor_id"):
+        import ray as _ray
+
+        from ..index import SegmentTree
+
+        p = _ray.get(segs_ref) if isinstance(segs_ref, _ray.ObjectRef) else segs_ref
+        self.tree = SegmentTree(p["start_x"], p["start_y"], p["end_x"], p["end_y"],
+                                ids=p["ids"])
+        self.k = k
+        self.id_col, self.id_out = id_col, id_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sid = batch.column(self.id_col).to_numpy()
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        out_id, out_nb, out_rnk, out_d2 = [], [], [], []
+        for i in range(len(sid)):
+            got = 0
+            for nb, d2 in self.tree.n_nearest_to_segment_iter(sx[i], sy[i], ex[i], ey[i]):
+                if nb == sid[i]:
+                    continue
+                got += 1
+                out_id.append(sid[i])
+                out_nb.append(nb)
+                out_rnk.append(got)
+                out_d2.append(d2)
+                if got == self.k:
+                    break
+        return pa.table({
+            self.id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+            self.id_out: pa.array(np.asarray(out_nb, dtype=np.int64)),
+            "rnk": pa.array(np.asarray(out_rnk, dtype=np.int64)),
+            "d2": pa.array(np.asarray(out_d2, dtype=np.float64)),
+        })
+
+
 def find_in_boxes(ds, query_boxes: dict[str, np.ndarray],
                   x_col: str = "x", y_col: str = "y",
                   carry: tuple[str, ...] = ("doc_id",)):
