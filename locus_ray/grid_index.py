@@ -127,6 +127,13 @@ class GridKnn:
     ):
         self.kind = kind
         self.ids = np.asarray(ids, dtype=np.int64)
+        n = len(self.ids)
+        # density-adaptive bucket resolution: ~1-4 geometries per cell.
+        # A sparse build side at a fine grid forces many empty expansion
+        # rounds (each annulus grows quadratically); `res` only caps the
+        # resolution, it does not force it.  Results are exact at any
+        # resolution — this is purely a probe-cost knob.
+        res = min(res, max(2, int(round(np.log2(max(n, 2)) / 2)) + 1))
         self.res = res
         self.n_cells_axis = 1 << res
         self.cell_w = WORLD_W / self.n_cells_axis
@@ -134,7 +141,6 @@ class GridKnn:
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
 
         mnx, mxx, mny, mxy = _bbox_of(kind, self.g)
-        n = len(self.ids)
         rows = np.arange(n, dtype=np.int64)
         if kind == "point":
             large = np.zeros(n, dtype=bool)
