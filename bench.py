@@ -105,7 +105,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
                                "k": 3, "id_out": "zone_id", "carry": ("doc_key",)},
-        concurrency=pool, batch_size=4096,
+        concurrency=pool, batch_size=2048,  # cache-resident batches
     ).count())
 
     # q3: containment join (broadcast)
@@ -143,6 +143,30 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8, "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
+    ).count())
+
+    # q7: compute-dense ANN probe (matmul-bound): demonstrates the
+    # engine's scaling when the kernel is not memory-bandwidth-bound
+    # (see BASELINE.md "hardware ceiling" note)
+    from locus_ray.stages import ann as ann_stage
+
+    def synth_vecs(n_vec):
+        def gen(batch):
+            import pyarrow as pa
+            ids = batch.column("id").to_numpy()
+            v = ((ids[:, None] * 2654435761 + np.arange(64)[None, :] * 97003) % 100003
+                 ).astype(np.float32) / 100003.0 - 0.5
+            return pa.table({"vec_id": pa.array(ids),
+                             "embedding": pa.array(list(v))})
+        return rd.range(n_vec, override_num_blocks=64).map_batches(
+            gen, batch_format="pyarrow")
+
+    qv = ((np.arange(256)[:, None] * 48271 + np.arange(64)[None, :] * 7919) % 100003
+          ).astype(np.float64) / 100003.0 - 0.5
+    timed("ann_cosine_1m", lambda: ann_stage.cosine_topk(
+        synth_vecs(1_000_000),
+        {"query_id": np.arange(256, dtype=np.int64), "matrix": qv}, k=10,
+        concurrency=pool,
     ).count())
 
     headline = queries["tile_assign"] + queries["knn_zones"] + queries["contain_join"]

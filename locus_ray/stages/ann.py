@@ -65,7 +65,8 @@ class CosineTopKActor:
 
 
 def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
-                id_col: str = "vec_id", vec_col: str = "embedding"):
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                concurrency=(1, 4)):
     """Exact distributed cosine top-k: per-batch partial top-k (actor
     pool) -> groupby(query_id) final merge.  Returns
     (query_id, vec_id, rnk) ordered by (-cosine, vec_id)."""
@@ -74,7 +75,7 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
         CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"queries_ref": ref, "k": k,
                                "id_col": id_col, "vec_col": vec_col},
-        concurrency=(1, 4),
+        concurrency=concurrency,
     )
 
     def merge(group):
