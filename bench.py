@@ -155,9 +155,9 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
             import pyarrow as pa
             ids = batch.column("id").to_numpy()
             v = ((ids[:, None] * 2654435761 + np.arange(64)[None, :] * 97003) % 100003
-                 ).astype(np.float32) / 100003.0 - 0.5
-            return pa.table({"vec_id": pa.array(ids),
-                             "embedding": pa.array(list(v))})
+                 ).astype(np.float32) / np.float32(100003.0) - np.float32(0.5)
+            emb = pa.FixedSizeListArray.from_arrays(pa.array(v.ravel()), 64)
+            return pa.table({"vec_id": pa.array(ids), "embedding": emb})
         return rd.range(n_vec, override_num_blocks=64).map_batches(
             gen, batch_format="pyarrow")
 

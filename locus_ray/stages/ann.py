@@ -49,24 +49,19 @@ class CosineTopKActor:
         sims = (m / norms) @ self.qm.T  # (n, q)
         ids = batch.column(self.id_col).to_numpy()
         k = min(self.k, sims.shape[0])
-        # per-query partial top-k within this batch
-        out_q, out_id, out_s = [], [], []
+        # per-query partial top-k within this batch (fully vectorized)
         part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
-        for j in range(sims.shape[1]):
-            rows = part[:, j]
-            out_q.append(np.full(k, self.qid[j], dtype=np.int64))
-            out_id.append(ids[rows])
-            out_s.append(sims[rows, j])
+        top_s = np.take_along_axis(sims, part, axis=0)  # (k, q)
         return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            self.id_col: pa.array(np.concatenate(out_id)),
-            "cosine": pa.array(np.concatenate(out_s)),
+            "query_id": pa.array(np.repeat(self.qid, k)),
+            self.id_col: pa.array(ids[part.T.ravel()]),
+            "cosine": pa.array(top_s.T.ravel()),
         })
 
 
 def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency=(1, 4)):
+                concurrency=(1, 4), batch_size: int = 8192):
     """Exact distributed cosine top-k: per-batch partial top-k (actor
     pool) -> groupby(query_id) final merge.  Returns
     (query_id, vec_id, rnk) ordered by (-cosine, vec_id)."""
@@ -75,7 +70,7 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
         CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"queries_ref": ref, "k": k,
                                "id_col": id_col, "vec_col": vec_col},
-        concurrency=concurrency,
+        concurrency=concurrency, batch_size=batch_size,
     )
 
     def merge(group):
@@ -140,16 +135,11 @@ def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
             sims = (m / norms) @ self.qm.T
             kk = min(self.k, sims.shape[0])
             part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            out_q, out_id, out_s = [], [], []
-            for j in range(sims.shape[1]):
-                rows = part[:, j]
-                out_q.append(np.full(kk, self.qid[j], dtype=np.int64))
-                out_id.append(ids[rows])
-                out_s.append(sims[rows, j])
+            top_s = np.take_along_axis(sims, part, axis=0)
             return pa.table({
-                "query_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "cosine": pa.array(np.concatenate(out_s)),
+                "query_id": pa.array(np.repeat(self.qid, kk)),
+                id_col: pa.array(ids[part.T.ravel()]),
+                "cosine": pa.array(top_s.T.ravel()),
             })
 
     partials = ds.map_batches(BucketScore, batch_format="pyarrow",
