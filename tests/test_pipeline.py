@@ -229,3 +229,31 @@ def test_partitioned_contain_join_with_salting(ray_session):
         concurrency=1,
     ).to_pandas()
     assert set(zip(got["doc_id"], got["zone_id"])) == set(zip(exp["doc_id"], exp["zone_id"]))
+
+
+def test_resumable_flagship(ray_session, tmp_path):
+    import numpy as np
+
+    from locus_ray import derive
+    from locus_ray.pipelines import resumable
+
+    ids = np.arange(64, dtype=np.int64)
+    mnx, mxx, mny, mxy = derive.zone_box(ids)
+    zp = {"ids": ids, "min_x": mnx, "max_x": mxx, "min_y": mny, "max_y": mxy}
+    out = str(tmp_path / "flag")
+    recs = resumable.run_resumable_flagship(out, n_docs=400, zones_payload=zp,
+                                            n_shards=4, k=2)
+    assert len(recs) == 4
+    assert sum(r["rows"] for r in recs) == 800  # 400 docs x k=2
+    # rerun: everything skipped (lineage returned from markers)
+    recs2 = resumable.run_resumable_flagship(out, n_docs=400, zones_payload=zp,
+                                             n_shards=4, k=2)
+    assert [r["completed_at"] for r in recs2] == [r["completed_at"] for r in recs]
+    # outputs are disjoint shard dirs with global doc coverage
+    import pyarrow.parquet as pq
+    import glob, os
+
+    files = glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+    tabs = [pq.read_table(f, columns=["doc_id"]) for f in files]
+    all_ids = sorted(x for t in tabs for x in t.column("doc_id").to_pylist())
+    assert len(set(all_ids)) == 400
