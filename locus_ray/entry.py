@@ -497,6 +497,85 @@ def _q_events_sessionize(sf_dir: str):
     return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding windows (1 h window, 30 min slide) over the events log:
+    each event lands in exactly two windows; implemented as a vectorized
+    row-duplication map (no per-row Python) + pre-aggregated counts."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    ev = tables.read_table(sf_dir, "events", columns=["event_type", "ts"])
+    W = 3_600_000_000  # 1 h in us
+    S = 1_800_000_000  # 30 min slide
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        k = us // S  # event belongs to windows starting at (k-1)*S and k*S
+        win = np.concatenate((k - 1, k))
+        ets = np.concatenate((et, et))
+        g = pd.DataFrame({"event_type": ets, "window_start": win * S}).groupby(
+            ["event_type", "window_start"], as_index=False
+        ).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "window_start": pa.array(g["window_start"].to_numpy()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+        })
+
+    return (
+        ev.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+def _q_tile_index_stats(sf_dir: str):
+    """Per-partition index build (C3 shape): zones group by home tile at
+    a coarse resolution; each group builds a packed Hilbert R-tree in
+    ``map_groups`` and emits its structural metrics — the per-partition
+    build-once state + per-partition metrics of the north rule."""
+    from .index import PackedRTree
+    from .sources import tables
+
+    res = 4  # coarse: enough zones per tile to build real trees
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        from .cells import cell_id
+
+        cx = (batch.column("min_x").to_numpy(zero_copy_only=False)
+              + batch.column("max_x").to_numpy(zero_copy_only=False))
+        cy = (batch.column("min_y").to_numpy(zero_copy_only=False)
+              + batch.column("max_y").to_numpy(zero_copy_only=False))
+        tile = cell_id(cx / 2.0, cy / 2.0, res)
+        return batch.append_column("tile", pa.array(tile))
+
+    def build(group):
+        import pandas as pd
+
+        t = PackedRTree(
+            group["min_x"].to_numpy(), group["max_x"].to_numpy(),
+            group["min_y"].to_numpy(), group["max_y"].to_numpy(),
+            ids=group["zone_id"].to_numpy(),
+        )
+        return pd.DataFrame({
+            "tile": [int(group["tile"].iloc[0])],
+            "n_zones": [int(t.size)],
+            "height": [int(t.height)],
+            "valid": [bool(t.is_valid())],
+        })
+
+    return (
+        tables.zones_ds(sf_dir)
+        .map_batches(add_tile, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def _q_customer_orders(sf_dir: str):
     """Broadcast dimension join: orders count per market segment."""
     import ray
@@ -637,7 +716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming breadth
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_sliding": _q_events_sliding,
         "customer_orders": _q_customer_orders,
+        "tile_index_stats": _q_tile_index_stats,
     }
 
 
@@ -810,5 +891,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "events_sliding": """
+            WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS k FROM events),
+            w AS (SELECT event_type, (k - 1) * 1800000000 AS window_start FROM e
+                  UNION ALL
+                  SELECT event_type, k * 1800000000 AS window_start FROM e)
+            SELECT event_type, window_start, COUNT(*) AS n_events
+            FROM w GROUP BY event_type, window_start
         """,
     }
