@@ -233,3 +233,48 @@ def superset_join(ds, query_boxes, id_col: str = "zone_id"):
     """R4 contract (locus/r.py:307-353): streaming boxes containing
     each query box (closed)."""
     return _box_vs_queries(ds, query_boxes, "superset", id_col)
+
+
+class AttachPayloadActor:
+    """Re-attach a wide payload column (e.g. interleaved ``spans``) to
+    join results by id — the tail of the SURVEY.md §7 pattern "carry
+    doc_id only through shuffles, re-join spans at the end".
+
+    Hash joins cannot carry nested list<struct> payloads through Acero
+    (ArrowInvalid), and shipping spans through a shuffle would multiply
+    the shuffle bytes anyway.  Instead the payload table is held
+    id-sorted per actor (broadcast here; at corpus scale each actor
+    reads only the key-range shard aligned with its input partition —
+    same code, different source) and rows are attached with
+    ``searchsorted`` + ``take``, which is nested-type-safe and
+    zero-copy on the Arrow side.
+    """
+
+    def __init__(self, payload_ref, key: str = "doc_id",
+                 columns: tuple[str, ...] = ("spans",)):
+        import ray as _ray
+
+        t = _ray.get(payload_ref) if isinstance(payload_ref, _ray.ObjectRef) else payload_ref
+        if isinstance(t, pa.Table):
+            tab = t
+        else:
+            tab = pa.table(t)
+        keys = tab.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        self.sorted_keys = keys[order]
+        self.payload = tab.select(list(columns)).take(pa.array(order))
+        self.key = key
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bk = batch.column(self.key).to_numpy(zero_copy_only=False)
+        loc = np.searchsorted(self.sorted_keys, bk)
+        loc = np.minimum(loc, len(self.sorted_keys) - 1)
+        ok = self.sorted_keys[loc] == bk
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            loc = loc[ok]
+        out = batch
+        for c in self.columns:
+            out = out.append_column(c, self.payload.column(c).take(pa.array(loc)))
+        return out

@@ -257,3 +257,50 @@ def test_resumable_flagship(ray_session, tmp_path):
     tabs = [pq.read_table(f, columns=["doc_id"]) for f in files]
     all_ids = sorted(x for t in tabs for x in t.column("doc_id").to_pylist())
     assert len(set(all_ids)) == 400
+
+
+def test_shuffle_join_then_rejoin_spans(ray_session):
+    """The scale pattern from SURVEY.md §7: carry only doc ids through
+    the shuffle, re-join the wide spans payload afterwards; span
+    sequences must survive byte-identical."""
+    import pyarrow as pa
+
+    from locus_ray import derive
+    from locus_ray.sources import synth
+    from locus_ray.stages import partitioned
+    import ray.data as rd
+
+    docs = synth.interleaved_docs(300)
+    zone_ids = np.arange(64, dtype=np.int64)
+    mnx, mxx, mny, mxy = derive.zone_box(zone_ids)
+    zones = rd.from_arrow(pa.table({
+        "zone_id": zone_ids, "min_x": mnx, "max_x": mxx,
+        "min_y": mny, "max_y": mxy,
+    }))
+    joined = partitioned.contain_join_partitioned(
+        docs.select_columns(["doc_id", "x", "y"]), zones,
+        res=6, num_partitions=4,
+    )
+    # re-join spans by doc_id (nested payload: searchsorted+take attach,
+    # hash joins cannot carry list<struct> payloads)
+    import ray
+    from locus_ray.stages.spatial import AttachPayloadActor
+
+    spans_tab = pa.Table.from_pandas(
+        synth.interleaved_docs(300).select_columns(["doc_id", "spans"]).to_pandas()
+    )
+    ref2 = ray.put(spans_tab)
+    out = joined.map_batches(
+        AttachPayloadActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"payload_ref": ref2},
+        concurrency=(1, 2),
+    )
+    out_t = pa.Table.from_pandas(out.to_pandas())
+
+    ref = pa.Table.from_pandas(synth.interleaved_docs(300).to_pandas())
+    want = dict(zip(ref.column("doc_id").to_pylist(),
+                    synth.span_signature(ref.column("spans"))))
+    got_sigs = synth.span_signature(out_t.column("spans"))
+    assert len(out_t) > 0
+    for d, s in zip(out_t.column("doc_id").to_pylist(), got_sigs):
+        assert want[d] == s
