@@ -82,3 +82,87 @@ def media_features(docs, decode: str = "fake", dim: int = 16,
         fn_constructor_kwargs={"decode": decode, "dim": dim},
         concurrency=concurrency, batch_size=batch_size,
     )
+
+
+class MediaTransformActor:
+    """Resize / frame-sample plumbing for media spans.
+
+    Same stub discipline as :class:`MediaFeatureActor`: the pipeline
+    mechanics (schema, per-span explode, actor state, deterministic
+    outputs, small batches) are real; the codec kernel is a
+    deterministic fake unless ``decode="real"`` (which raises at the
+    exact plug point).
+
+    op="resize":       emits (doc_id, span_idx, media_ref, width,
+                       height, payload_hash) for image spans
+    op="frame_sample": emits one row per sampled frame index for
+                       audio/video-like spans (every ``stride``-th of a
+                       fake duration derived from the ref)
+    """
+
+    def __init__(self, op: str = "resize", decode: str = "fake",
+                 width: int = 224, height: int = 224, stride: int = 10):
+        if op not in ("resize", "frame_sample"):
+            raise ValueError(op)
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        self.op, self.decode = op, decode
+        self.width, self.height, self.stride = width, height, stride
+
+    def _kernel(self, media_ref: str):
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real codecs unavailable in this environment; use decode='fake'"
+            )
+        h = hashlib.sha256(media_ref.encode()).digest()
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows = {k: [] for k in ("doc_id", "span_idx", "media_ref")}
+        extra = {}
+        if self.op == "resize":
+            extra = {"width": [], "height": [], "payload_hash": []}
+            want = {"image"}
+        else:
+            extra = {"frame_idx": []}
+            want = {"audio", "table"}
+        for row_i, row in enumerate(spans.to_pylist()):
+            for s_i, s in enumerate(row or ()):
+                if s["kind"] not in want:
+                    continue
+                digest = self._kernel(s["media_ref"])
+                if self.op == "resize":
+                    rows["doc_id"].append(doc_ids[row_i])
+                    rows["span_idx"].append(s_i)
+                    rows["media_ref"].append(s["media_ref"])
+                    extra["width"].append(self.width)
+                    extra["height"].append(self.height)
+                    extra["payload_hash"].append(digest[:8].hex())
+                else:
+                    n_frames = 1 + digest[0] % 64
+                    for f in range(0, n_frames, self.stride):
+                        rows["doc_id"].append(doc_ids[row_i])
+                        rows["span_idx"].append(s_i)
+                        rows["media_ref"].append(s["media_ref"])
+                        extra["frame_idx"].append(f)
+        cols = {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "span_idx": pa.array(rows["span_idx"], type=pa.int32()),
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+        }
+        for k, v in extra.items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
+
+
+def media_transform(docs, op: str = "resize", decode: str = "fake",
+                    concurrency=(1, 4), batch_size: int = 512, **kw):
+    return docs.map_batches(
+        MediaTransformActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"op": op, "decode": decode, **kw},
+        concurrency=concurrency, batch_size=batch_size,
+    )

@@ -304,3 +304,14 @@ def test_shuffle_join_then_rejoin_spans(ray_session):
     assert len(out_t) > 0
     for d, s in zip(out_t.column("doc_id").to_pylist(), got_sigs):
         assert want[d] == s
+
+
+def test_media_transform_stubs(ray_session):
+    from locus_ray.sources import synth
+    from locus_ray.stages import multimodal
+
+    docs = synth.interleaved_docs(80)
+    rz = multimodal.media_transform(docs, op="resize").to_pandas()
+    assert len(rz) > 0 and (rz["width"] == 224).all()
+    fs = multimodal.media_transform(docs, op="frame_sample", stride=7).to_pandas()
+    assert len(fs) > 0 and (fs["frame_idx"] % 7 == 0).all()
