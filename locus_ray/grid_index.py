@@ -161,39 +161,53 @@ class GridKnn:
     def size(self) -> int:
         return len(self.ids)
 
-    # -- dense-side per-cell prefilter ---------------------------------------
+    # -- per-cell bounds: kth-distance ceiling + dense prefilter -------------
 
-    def _ensure_dense_filter(self, k: int) -> bool:
-        """Precompute, per home cell, the dense zones that can possibly
-        appear in a top-k answer for any point in that cell (box kind).
+    def _ensure_cell_bounds(self, k: int) -> bool:
+        """Precompute, per (coarse) filter cell:
 
-        Bound argument: for cell c and zone z let d_min(c,z)/d_max(c,z)
-        be the min/max squared distance between the rectangles.  With
-        U(c) = k-th smallest d_max(c,·), any point p in c has kth(p) <=
-        U(c), and a zone with d_min(c,z) > U(c) satisfies d(p,z) > U(c)
-        >= kth(p) strictly — it can never enter the top-k, even via an
-        id tie-break.  So the per-cell candidate list [d_min <= U] is
-        exact.  One-time cost O(cells x n_dense), done chunked; shrinks
-        per-point dense work from n_dense to ~k.
+        * ``U_all(c)`` — an upper bound on any in-cell point's k-th
+          nearest distance, from the k-th smallest of per-geometry
+          worst-case distances ``u(c, g) = max_{p in c} d(p, g)``
+          (rect-vs-rect worst gap for boxes/points; worst distance to
+          one endpoint for segments — both are valid upper bounds of
+          the true geometry distance).  Candidates scored above
+          ``U_all`` can NEVER be in the top-k (strict), so query()
+          drops them before the expensive merge.  Computed over a
+          sample of at most ``_BOUND_SAMPLE`` geometries — a subset's
+          k-th statistic is >= the full set's, so sampling only
+          loosens, never breaks, the bound.
+        * the dense-side relevant lists (box kind): dense geometries
+          with ``d_min(c, z) > U_all(c)`` are excluded per cell.
+
+        Cached per k (actors use a fixed k).
         """
-        if self.kind != "box" or len(self.large_pos) == 0:
+        if getattr(self, "_bounds_k", None) == k:
+            return self._have_bounds
+        if self.kind == "segment":
+            # the cheap per-segment upper bound (endpoint distance) is
+            # too loose to pay for itself; segments skip the ceiling
+            self._bounds_k = k
+            self._have_bounds = False
+            self._dense_lists = False
             return False
-        if getattr(self, "_dense_filter_k", None) == k:
-            return True
-        # the filter grid can be coarser than the bucket grid: dense
-        # zones are big, so a coarse raster already separates them well
-        # and the one-time build cost drops quadratically
         f_res = min(self.res, 6)
         axis = 1 << f_res
         f_w = WORLD_W / axis
         f_h = WORLD_H / axis
         n_cells = axis * axis
-        lp = self.large_pos
-        z_mnx = self.g["min_x"][lp]
-        z_mxx = self.g["max_x"][lp]
-        z_mny = self.g["min_y"][lp]
-        z_mxy = self.g["max_y"][lp]
-        kk = min(k, len(lp))
+
+        mnx, mxx, mny, mxy = _bbox_of(self.kind, self.g)
+        n = len(self.ids)
+        _BOUND_SAMPLE = 4000  # subset kth >= full kth: sampling stays valid
+        if n > _BOUND_SAMPLE:
+            step = n // _BOUND_SAMPLE
+            sel = np.arange(0, n, step)[:_BOUND_SAMPLE]
+        else:
+            sel = np.arange(n)
+        s_mnx, s_mxx = mnx[sel], mxx[sel]
+        s_mny, s_mxy = mny[sel], mxy[sel]
+        kk = min(k, len(sel))
 
         cell_ids_all = np.arange(n_cells, dtype=np.int64)
         ccx = cell_ids_all // axis
@@ -203,36 +217,54 @@ class GridKnn:
         c_mny = WORLD_MIN_Y + ccy * f_h
         c_mxy = c_mny + f_h
 
-        members = []
-        cells_of = []
-        chunk = max(1, 8_388_608 // max(len(lp), 1))  # ~64MB float64 temporaries
+        u_all = np.empty(n_cells, dtype=np.float64)
+        chunk = max(1, 8_388_608 // max(len(sel), 1))
         for s in range(0, n_cells, chunk):
             e = min(s + chunk, n_cells)
-            gx = np.maximum(np.maximum(z_mnx[None, :] - c_mxx[s:e, None],
-                                       c_mnx[s:e, None] - z_mxx[None, :]), 0.0)
-            gy = np.maximum(np.maximum(z_mny[None, :] - c_mxy[s:e, None],
-                                       c_mny[s:e, None] - z_mxy[None, :]), 0.0)
-            dmin = gx * gx + gy * gy
-            # max over p in cell of box-point distance: per-axis worst
-            # endpoint gap (0 when the cell is inside the zone span)
-            fx = np.maximum(np.maximum(z_mnx[None, :] - c_mnx[s:e, None],
-                                       c_mxx[s:e, None] - z_mxx[None, :]), 0.0)
-            fy = np.maximum(np.maximum(z_mny[None, :] - c_mny[s:e, None],
-                                       c_mxy[s:e, None] - z_mxy[None, :]), 0.0)
+            # worst-case per-axis gap between cell rect and geometry
+            # upper-bound rect (max over p in cell of min-dist to rect,
+            # PLUS the rect's own extent cannot reduce it: for boxes
+            # u = max-gap formula on the box itself is exact)
+            fx = np.maximum(np.maximum(s_mnx[None, :] - c_mnx[s:e, None],
+                                       c_mxx[s:e, None] - s_mxx[None, :]), 0.0)
+            fy = np.maximum(np.maximum(s_mny[None, :] - c_mny[s:e, None],
+                                       c_mxy[s:e, None] - s_mxy[None, :]), 0.0)
             dmax = fx * fx + fy * fy
-            u = np.partition(dmax, kk - 1, axis=1)[:, kk - 1]
-            keep = dmin <= u[:, None]
-            r, cpos = np.nonzero(keep)
-            cells_of.append(r + s)
-            members.append(cpos)
-        cells_flat = np.concatenate(cells_of)
-        memb_flat = np.concatenate(members)
-        # CSR over ALL cells (every cell has >= kk entries by construction)
-        counts = np.bincount(cells_flat, minlength=n_cells)
-        self._df_offsets = np.concatenate(([0], np.cumsum(counts)))
-        self._df_members = lp[memb_flat]  # positions into geometry arrays
+            u_all[s:e] = np.partition(dmax, kk - 1, axis=1)[:, kk - 1]
+
+        self._u_all = u_all
         self._df_res = f_res
-        self._dense_filter_k = k
+
+        # dense relevant lists (box kind only), filtered by U_all
+        if self.kind == "box" and len(self.large_pos):
+            lp = self.large_pos
+            z_mnx = self.g["min_x"][lp]
+            z_mxx = self.g["max_x"][lp]
+            z_mny = self.g["min_y"][lp]
+            z_mxy = self.g["max_y"][lp]
+            members = []
+            cells_of = []
+            chunk = max(1, 8_388_608 // max(len(lp), 1))
+            for s in range(0, n_cells, chunk):
+                e = min(s + chunk, n_cells)
+                gx = np.maximum(np.maximum(z_mnx[None, :] - c_mxx[s:e, None],
+                                           c_mnx[s:e, None] - z_mxx[None, :]), 0.0)
+                gy = np.maximum(np.maximum(z_mny[None, :] - c_mxy[s:e, None],
+                                           c_mny[s:e, None] - z_mxy[None, :]), 0.0)
+                dmin = gx * gx + gy * gy
+                r, cpos = np.nonzero(dmin <= u_all[s:e, None])
+                cells_of.append(r + s)
+                members.append(cpos)
+            cells_flat = np.concatenate(cells_of)
+            memb_flat = np.concatenate(members)
+            counts = np.bincount(cells_flat, minlength=n_cells)
+            self._df_offsets = np.concatenate(([0], np.cumsum(counts)))
+            self._df_members = lp[memb_flat]
+            self._dense_lists = True
+        else:
+            self._dense_lists = False
+        self._bounds_k = k
+        self._have_bounds = True
         return True
 
     # -- scoring -------------------------------------------------------------
@@ -276,11 +308,19 @@ class GridKnn:
         best_d = np.full((n, k), np.inf, dtype=np.float64)
         n_found = np.zeros(n, dtype=np.int64)
 
-        # 1) dense side: with the per-cell prefilter (box kind), dense
-        # candidates shrink to ~k per point and merge with the bucket
-        # candidates in round 1; otherwise fall back to the full
-        # broadcast matrix seeding.
-        dense_filtered = self._ensure_dense_filter(k)
+        # 1) per-cell bounds: U_all ceiling (drops hopeless candidates
+        # before the merge) + dense relevant lists (box kind); non-box
+        # kinds with dense members fall back to full matrix seeding.
+        have_bounds = self._ensure_cell_bounds(k)
+        dense_filtered = self._dense_lists
+        u_pt = None
+        if have_bounds:
+            f_axis = 1 << self._df_res
+            fhx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * f_axis),
+                          0, f_axis - 1).astype(np.int64)
+            fhy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * f_axis),
+                          0, f_axis - 1).astype(np.int64)
+            u_pt = self._u_all[fhx * f_axis + fhy]  # kth-distance ceiling
         if len(self.large_pos) and not dense_filtered:
             lp = self.large_pos
             l_ids = self.ids[lp]
@@ -324,13 +364,8 @@ class GridKnn:
 
             if dense_filtered and r_prev == -1:
                 # round 1: merge the per-cell dense candidates (complete
-                # for the top-k by the _ensure_dense_filter bound)
-                f_axis = 1 << self._df_res
-                fhx = np.clip(np.floor((qx[active] - WORLD_MIN_X) / WORLD_W * f_axis),
-                              0, f_axis - 1).astype(np.int64)
-                fhy = np.clip(np.floor((qy[active] - WORLD_MIN_Y) / WORLD_H * f_axis),
-                              0, f_axis - 1).astype(np.int64)
-                home = fhx * f_axis + fhy
+                # for the top-k by the _ensure_cell_bounds argument)
+                home = fhx[active] * f_axis + fhy[active]
                 dcounts = self._df_offsets[home + 1] - self._df_offsets[home]
                 drows = np.repeat(np.arange(len(active), dtype=np.int64), dcounts)
                 starts = self._df_offsets[home]
@@ -344,6 +379,16 @@ class GridKnn:
                 ax = qx[active]
                 ay = qy[active]
                 d2 = self._score(pos, ax[q_row], ay[q_row])
+                # drop candidates above the per-point kth-distance
+                # ceiling BEFORE the merge sort: kth(p) <= U_all(cell)
+                # so anything strictly above can never be in the top-k;
+                # the closed comparison keeps boundary ties
+                if u_pt is not None:
+                    within = d2 <= u_pt[active][q_row]
+                    if not within.all():
+                        q_row = q_row[within]
+                        pos = pos[within]
+                        d2 = d2[within]
                 cand_ids = self.ids[pos]
                 cur_rows = np.repeat(np.arange(len(active), dtype=np.int64), n_found[active])
                 cur_mask = best_id[active] >= 0
