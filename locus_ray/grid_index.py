@@ -180,17 +180,20 @@ class GridKnn:
         * the dense-side relevant lists (box kind): dense geometries
           with ``d_min(c, z) > U_all(c)`` are excluded per cell.
 
-        Cached per k (actors use a fixed k).
+        Built once with a k-ceiling (max(k, 8)): the 8th-distance bound
+        is a valid (looser) ceiling for any k <= 8, so pools with
+        different small k share one build.
         """
-        if getattr(self, "_bounds_k", None) == k:
+        if getattr(self, "_bounds_k", 0) >= k:
             return self._have_bounds
         if self.kind == "segment":
             # the cheap per-segment upper bound (endpoint distance) is
             # too loose to pay for itself; segments skip the ceiling
-            self._bounds_k = k
+            self._bounds_k = 1 << 30
             self._have_bounds = False
             self._dense_lists = False
             return False
+        k = max(k, 8)
         f_res = min(self.res, 6)
         axis = 1 << f_res
         f_w = WORLD_W / axis
@@ -199,7 +202,7 @@ class GridKnn:
 
         mnx, mxx, mny, mxy = _bbox_of(self.kind, self.g)
         n = len(self.ids)
-        _BOUND_SAMPLE = 4000  # subset kth >= full kth: sampling stays valid
+        _BOUND_SAMPLE = 2000  # subset kth >= full kth: sampling stays valid
         if n > _BOUND_SAMPLE:
             step = n // _BOUND_SAMPLE
             sel = np.arange(0, n, step)[:_BOUND_SAMPLE]
