@@ -316,6 +316,12 @@ class GridKnn:
         # kinds with dense members fall back to full matrix seeding.
         have_bounds = self._ensure_cell_bounds(k)
         dense_filtered = self._dense_lists
+        # per-cell bounds assume the point lies in its (unclamped) home
+        # cell; out-of-world points fall back to the exhaustive path
+        inworld = (
+            (qx >= WORLD_MIN_X) & (qx <= WORLD_MIN_X + WORLD_W)
+            & (qy >= WORLD_MIN_Y) & (qy <= WORLD_MIN_Y + WORLD_H)
+        )
         u_pt = None
         if have_bounds:
             f_axis = 1 << self._df_res
@@ -323,7 +329,7 @@ class GridKnn:
                           0, f_axis - 1).astype(np.int64)
             fhy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * f_axis),
                           0, f_axis - 1).astype(np.int64)
-            u_pt = self._u_all[fhx * f_axis + fhy]  # kth-distance ceiling
+            u_pt = np.where(inworld, self._u_all[fhx * f_axis + fhy], np.inf)
         if len(self.large_pos) and not dense_filtered:
             lp = self.large_pos
             l_ids = self.ids[lp]
@@ -367,14 +373,25 @@ class GridKnn:
 
             if dense_filtered and r_prev == -1:
                 # round 1: merge the per-cell dense candidates (complete
-                # for the top-k by the _ensure_cell_bounds argument)
+                # for the top-k by the _ensure_cell_bounds argument);
+                # out-of-world points score ALL dense zones (the per-cell
+                # exclusion argument requires the point inside its cell)
                 home = fhx[active] * f_axis + fhy[active]
-                dcounts = self._df_offsets[home + 1] - self._df_offsets[home]
+                dcounts = np.where(
+                    inworld[active],
+                    self._df_offsets[home + 1] - self._df_offsets[home],
+                    len(self.large_pos),
+                )
                 drows = np.repeat(np.arange(len(active), dtype=np.int64), dcounts)
-                starts = self._df_offsets[home]
+                starts = np.where(inworld[active], self._df_offsets[home], 0)
                 offs_d = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
                 local = np.arange(int(dcounts.sum()), dtype=np.int64) - np.repeat(offs_d, dcounts)
-                dpos = self._df_members[np.repeat(starts, dcounts) + local]
+                base = np.repeat(starts, dcounts) + local
+                dpos = np.where(
+                    np.repeat(inworld[active], dcounts),
+                    self._df_members[np.minimum(base, len(self._df_members) - 1)],
+                    self.large_pos[np.minimum(local, len(self.large_pos) - 1)],
+                )
                 q_row = np.concatenate((q_row, drows))
                 pos = np.concatenate((pos, dpos))
 
