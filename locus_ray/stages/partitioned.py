@@ -85,6 +85,45 @@ def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
     }
 
 
+def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64):
+    """Salt hot cells: docs in a hot cell split across ``fan`` sub-keys
+    (deterministic from batch row position), the geometry side
+    replicates its rows once per sub-key — bounding the largest join
+    partition at ~``hot_threshold`` docs.  No-op when nothing is hot."""
+    salts = detect_hot_cells(d, hot_threshold)
+    if not salts:
+        return d, z
+    ref = ray.put(salts)
+
+    def salt_docs(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        fan = np.asarray([min(sm.get(int(c), 1), max_fan) for c in cid], dtype=np.int64)
+        salt = np.arange(len(cid), dtype=np.int64) % fan
+        key = cid * max_fan + salt
+        return batch.set_column(
+            batch.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
+        )
+
+    def salt_geoms(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        fan = np.asarray([min(sm.get(int(c), 1), max_fan) for c in cid], dtype=np.int64)
+        row = np.repeat(np.arange(len(cid), dtype=np.int64), fan)
+        starts = np.concatenate(([0], np.cumsum(fan)[:-1]))
+        salt = np.arange(int(fan.sum()), dtype=np.int64) - np.repeat(starts, fan)
+        t = batch.take(pa.array(row))
+        key = cid[row] * max_fan + salt
+        return t.set_column(
+            t.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
+        )
+
+    return (
+        d.map_batches(salt_docs, batch_format="pyarrow", zero_copy_batch=True),
+        z.map_batches(salt_geoms, batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+
 def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
                              num_partitions: int = 32,
                              hot_threshold: int | None = None,
@@ -147,38 +186,8 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
 
     d = _doc_cells(docs, res)
     z = _zone_cover(zones_small, res)
-
     if hot_threshold is not None:
-        salts = detect_hot_cells(d, hot_threshold)
-        if salts:
-            ref = ray.put(salts)
-
-            def salt_docs(batch: pa.Table) -> pa.Table:
-                sm = ray.get(ref)
-                cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
-                fan = np.asarray([sm.get(int(c), 1) for c in cid], dtype=np.int64)
-                # deterministic sub-key from row position within batch
-                salt = np.arange(len(cid), dtype=np.int64) % fan
-                key = cid * 64 + salt  # fan-out capped at 64 below
-                return batch.set_column(
-                    batch.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
-                )
-
-            def salt_zones(batch: pa.Table) -> pa.Table:
-                sm = ray.get(ref)
-                cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
-                fan = np.asarray([min(sm.get(int(c), 1), 64) for c in cid], dtype=np.int64)
-                row = np.repeat(np.arange(len(cid), dtype=np.int64), fan)
-                starts = np.concatenate(([0], np.cumsum(fan)[:-1]))
-                salt = np.arange(int(fan.sum()), dtype=np.int64) - np.repeat(starts, fan)
-                t = batch.take(pa.array(row))
-                key = cid[row] * 64 + salt
-                return t.set_column(
-                    t.schema.get_field_index("cell_id"), "cell_id", pa.array(key)
-                )
-
-            d = d.map_batches(salt_docs, batch_format="pyarrow", zero_copy_batch=True)
-            z = z.map_batches(salt_zones, batch_format="pyarrow", zero_copy_batch=True)
+        d, z = _apply_salting(d, z, hot_threshold)
 
     joined = d.join(z, "inner", num_partitions, on=("cell_id",))
 
@@ -202,7 +211,8 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
 def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                          res: int = DEFAULT_CELL_RES, pad_rings: int = 1,
                          num_partitions: int = 32,
-                         carry: tuple[str, ...] = ("doc_id",)):
+                         carry: tuple[str, ...] = ("doc_id",),
+                         hot_threshold: int | None = None):
     """kNN join via cell-cover candidate shuffle + ring-bound fallback.
 
     Main path: zones explode their cover padded by ``pad_rings`` rings;
@@ -239,6 +249,8 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
     d = _doc_cells(docs, res)
     z = _zone_cover(zones_small, res, pad_rings=pad_rings)
+    if hot_threshold is not None:
+        d, z = _apply_salting(d, z, hot_threshold)
     # LEFT OUTER so every doc reaches the top-k merge even with zero
     # shuffled candidates (null zone rows become -1/inf sentinels)
     joined = d.join(z, "left_outer", num_partitions, on=("cell_id",))
