@@ -315,3 +315,21 @@ def test_media_transform_stubs(ray_session):
     assert len(rz) > 0 and (rz["width"] == 224).all()
     fs = multimodal.media_transform(docs, op="frame_sample", stride=7).to_pandas()
     assert len(fs) > 0 and (fs["frame_idx"] % 7 == 0).all()
+
+
+def test_ngram_jaccard_verifies_pairs(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    texts = ["a b c d e f g h", "a b c d e f g x", "totally different words here"]
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(3, dtype=np.int64),
+                                 "text": texts}))
+    cands = pd.DataFrame({"doc_a": [0, 0], "doc_b": [1, 2]})
+    out = dedup.ngram_jaccard_pairs(ds, cands).to_pandas().sort_values("doc_b")
+    j01 = out[out["doc_b"] == 1]["jaccard"].iloc[0]
+    j02 = out[out["doc_b"] == 2]["jaccard"].iloc[0]
+    assert j01 > 0.5 > j02
+    assert j02 == 0.0
