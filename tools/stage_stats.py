@@ -1,0 +1,50 @@
+"""Print Ray Data per-stage stats for the headline pipelines.
+
+The perf feedback loop: run a pipeline, read `ds.stats()` (wall/cpu/
+output-size per operator), confirm the wall time is dominated by the
+useful compute stage rather than reads/serialization.
+
+Usage: python tools/stage_stats.py [n_docs] [ncpus]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_docs: int, ncpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from bench import ensure_corpus
+    from locus_ray.sources import tables
+    from locus_ray.stages import spatial
+
+    corpus = ensure_corpus(n_docs)
+    zones_ref = ray.put(tables.zones_payload(
+        os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    docs = rd.read_parquet(corpus, columns=["doc_key", "x", "y"])
+    out = docs.map_batches(
+        spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
+                               "k": 3, "id_out": "zone_id", "carry": ("doc_key",)},
+        concurrency=max(2, ncpus - 2), batch_size=2048,
+    )
+    out.count()
+    print(out.stats())
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    main(n, c)
