@@ -27,7 +27,8 @@ def flagship(sf_dir: str | None = None, n_docs: int = 2000, res: int = DEFAULT_C
              k: int = 3, concurrency=(1, 4), batch_size: int = 4096,
              docs=None):
     """Returns the flagship result Dataset:
-    (doc_id, spans, cell_id, hilbert_key, zone_id, rnk, d2, in_zone)."""
+    (doc_id, spans, cell_id, hilbert_key, zone_id, rnk, d2) — one row
+    per (doc, rank<=k) nearest zone, spans carried untouched."""
     if docs is None:
         docs = synth.interleaved_docs(n_docs)
     if sf_dir is not None:
