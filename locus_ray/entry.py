@@ -348,6 +348,38 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_top_tokens(sf_dir: str):
+    """Global token frequency top-20 (the classic wordcount shape):
+    vectorized per-batch token explode + partial counts (combiner) ->
+    one small groupby Sum -> sort/limit."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    docs = tables.read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    import pandas as pd
+
+    df = counts.to_pandas()
+    df = df.sort_values(["n_occurrences", "token"],
+                        ascending=[False, True]).head(20).reset_index(drop=True)
+    return df
+
+
 def _q_dedup_exact(sf_dir: str):
     from .sources import tables
     from .stages import dedup
@@ -702,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_spans": _q_flagship_spans,
         # training-data ops
         "token_count": _q_token_count,
+        "top_tokens": _q_top_tokens,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
@@ -835,6 +868,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, LENGTH(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "top_tokens": """
+            SELECT t.token, COUNT(*) AS n_occurrences
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+            GROUP BY t.token
+            ORDER BY n_occurrences DESC, t.token
+            LIMIT 20
         """,
         "text_stats": """
             SELECT doc_id,
