@@ -44,7 +44,9 @@ from .kernels import (
     segment_point_squared_distance,
 )
 
-LARGE_COVER_CELLS = 64  # cover bigger than this -> dense side
+LARGE_COVER_CELLS = 64    # cover bigger than this -> dense side
+HOT_CELL_MEMBERS = 512    # point cells denser than this -> local sub-buckets
+HOT_RING_CAP = 64         # fine-level ring cap before the bounded dump
 
 
 def _bbox_of(kind: str, g: dict[str, np.ndarray]):
@@ -134,6 +136,11 @@ class GridKnn:
         # resolution, it does not force it.  Results are exact at any
         # resolution — this is purely a probe-cost knob.
         res = min(res, max(2, int(round(np.log2(max(n, 2)) / 2)) + 1))
+        if kind == "point":
+            # boxes/segments inflate bucket density via multi-cell
+            # covers; bare points don't — go one step coarser so cells
+            # average >= ~1 member and ring-1 probes usually suffice
+            res = max(2, res - 1)
         self.res = res
         self.n_cells_axis = 1 << res
         self.cell_w = WORLD_W / self.n_cells_axis
@@ -156,6 +163,47 @@ class GridKnn:
         small = ~large
         self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small], mxy[small],
                                 rows[small])
+
+        # local sub-bucketing of HOT cells (point kind): members of
+        # cells holding > HOT_CELL_MEMBERS points move to a 16x-finer
+        # bucket level so in-cluster queries gather ~density-matched
+        # candidate sets instead of the whole cluster cell
+        self.hot_buckets = None
+        if kind == "point" and n > 4 * HOT_CELL_MEMBERS:
+            b = self.buckets
+            sizes = np.diff(b.offsets)
+            hot_cells = b.cells[sizes > HOT_CELL_MEMBERS]
+            if len(hot_cells):
+                hot_members = np.concatenate([
+                    b.members[b.offsets[i]:b.offsets[i + 1]]
+                    for i in np.nonzero(sizes > HOT_CELL_MEMBERS)[0]
+                ])
+                hot_mask = np.zeros(n, dtype=bool)
+                hot_mask[hot_members] = True
+                cold = small & ~hot_mask
+                self.buckets = _Buckets(res, mnx[cold], mxx[cold], mny[cold],
+                                        mxy[cold], rows[cold])
+                fine_res = min(res + 4, 14)
+                self.hot_buckets = _Buckets(
+                    fine_res, mnx[hot_mask], mxx[hot_mask], mny[hot_mask],
+                    mxy[hot_mask], rows[hot_mask],
+                )
+                self.hot_members = rows[hot_mask]
+                # per main-cell LINEAR distance to the nearest hot cell:
+                # an unseen hot member is at least this far from any
+                # point in the cell, so far-away points are never
+                # hot-coverage-limited in the retirement bound
+                axis2 = self.n_cells_axis
+                cells_all = np.arange(axis2 * axis2, dtype=np.int64)
+                c_mnx = WORLD_MIN_X + (cells_all // axis2) * self.cell_w
+                c_mny = WORLD_MIN_Y + (cells_all % axis2) * self.cell_h
+                h_mnx = WORLD_MIN_X + (hot_cells // axis2) * self.cell_w
+                h_mny = WORLD_MIN_Y + (hot_cells % axis2) * self.cell_h
+                gx = np.maximum(np.maximum(h_mnx[None, :] - (c_mnx[:, None] + self.cell_w),
+                                           c_mnx[:, None] - (h_mnx[None, :] + self.cell_w)), 0.0)
+                gy = np.maximum(np.maximum(h_mny[None, :] - (c_mny[:, None] + self.cell_h),
+                                           c_mny[:, None] - (h_mny[None, :] + self.cell_h)), 0.0)
+                self._hot_dist = np.sqrt((gx * gx + gy * gy).min(axis=1))
 
     @property
     def size(self) -> int:
@@ -358,6 +406,12 @@ class GridKnn:
         hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * axis), 0, axis - 1).astype(np.int64)
         hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * axis), 0, axis - 1).astype(np.int64)
 
+        hot = self.hot_buckets
+        hot_r_prev = -1
+        hot_dumped = hot is None
+        if hot is not None:
+            hot_min_cell = min(WORLD_W / hot.axis, WORLD_H / hot.axis)
+
         r_prev = -1
         r_new = min(first_ring, axis)
         while len(active):
@@ -370,6 +424,36 @@ class GridKnn:
             cell_ids = ccx[valid] * axis + ccy[valid]
             src, pos = self.buckets.lookup(cell_ids)
             q_row = rows[src]
+
+            if not hot_dumped:
+                # the hot level advances at its own geometric pace; the
+                # retirement bound below takes the min of both levels'
+                # covered radii, so lagging here only delays retirement,
+                # never breaks it
+                hr_new = min(2 * hot_r_prev + 1 if hot_r_prev >= 0 else 1, hot.axis)
+                if hr_new > HOT_RING_CAP or r_new >= axis:
+                    # bounded dump: remaining (straggler) points take all
+                    # hot members; the fine level is then fully seen
+                    m = len(self.hot_members)
+                    drws = np.repeat(np.arange(len(active), dtype=np.int64), m)
+                    dps = np.tile(self.hot_members, len(active))
+                    q_row = np.concatenate((q_row, drws))
+                    pos = np.concatenate((pos, dps))
+                    hot_dumped = True
+                elif hr_new > hot_r_prev:
+                    hx = np.clip(np.floor((qx[active] - WORLD_MIN_X) / WORLD_W * hot.axis),
+                                 0, hot.axis - 1).astype(np.int64)
+                    hy = np.clip(np.floor((qy[active] - WORLD_MIN_Y) / WORLD_H * hot.axis),
+                                 0, hot.axis - 1).astype(np.int64)
+                    hoffs = _annulus_offsets(hot_r_prev, hr_new)
+                    hrows = np.repeat(np.arange(len(active), dtype=np.int64), len(hoffs))
+                    hcx2 = (hx[:, None] + hoffs[:, 0][None, :]).ravel()
+                    hcy2 = (hy[:, None] + hoffs[:, 1][None, :]).ravel()
+                    hval = (hcx2 >= 0) & (hcx2 < hot.axis) & (hcy2 >= 0) & (hcy2 < hot.axis)
+                    hsrc, hpos = hot.lookup(hcx2[hval] * hot.axis + hcy2[hval])
+                    q_row = np.concatenate((q_row, hrows[hval][hsrc]))
+                    pos = np.concatenate((pos, hpos))
+                    hot_r_prev = hr_new
 
             if dense_filtered and r_prev == -1:
                 # round 1: merge the per-cell dense candidates (complete
@@ -440,7 +524,20 @@ class GridKnn:
 
             if r_new >= axis:
                 break  # bucket grid fully swept
-            bound = (r_new * min_cell) ** 2
+            cov_main = r_new * min_cell
+            if not hot_dumped:
+                # unseen hot members are beyond BOTH the hot level's
+                # covered radius and the point's distance to the
+                # nearest hot region — take whichever is larger, then
+                # the min with the main guarantee
+                hot_guar = np.maximum(
+                    max(hot_r_prev, 0) * hot_min_cell,
+                    self._hot_dist[hcx[active] * axis + hcy[active]],
+                )
+                cov = np.minimum(cov_main, hot_guar)
+            else:
+                cov = cov_main
+            bound = cov * cov
             done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] <= bound)
             active = active[~done]
             r_prev = r_new
