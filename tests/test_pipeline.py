@@ -333,3 +333,19 @@ def test_ngram_jaccard_verifies_pairs(ray_session):
     j02 = out[out["doc_b"] == 2]["jaccard"].iloc[0]
     assert j01 > 0.5 > j02
     assert j02 == 0.0
+
+
+def test_io_lance_gating(ray_session, tmp_path):
+    from locus_ray.sources import io
+
+    # lance is absent in this image: gate must report False and the
+    # parquet fallback must round-trip
+    assert io.lance_available() is False
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "v": [0.1, 0.2, 0.3]}))
+    out = str(tmp_path / "docs.lance")  # .lance suffix, parquet fallback
+    io.write_docs(ds, out)
+    back = io.read_docs(out, columns=["doc_id"])
+    assert back.count() == 3

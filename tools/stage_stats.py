@@ -39,8 +39,8 @@ def main(n_docs: int, ncpus: int) -> None:
                                "k": 3, "id_out": "zone_id", "carry": ("doc_key",)},
         concurrency=max(2, ncpus - 2), batch_size=2048,
     )
-    out.count()
-    print(out.stats())
+    mat = out.materialize()
+    print(mat.stats())
     ray.shutdown()
 
 
