@@ -183,7 +183,11 @@ class GridKnn:
                 cold = small & ~hot_mask
                 self.buckets = _Buckets(res, mnx[cold], mxx[cold], mny[cold],
                                         mxy[cold], rows[cold])
-                fine_res = min(res + 4, 14)
+                # depth sized to density: aim for ~8 members per fine
+                # cell under the densest hot cell
+                m_max = int(sizes.max())
+                extra = int(np.ceil(np.log2(max(m_max / 8.0, 2.0)) / 2.0))
+                fine_res = min(res + max(4, extra), 14)
                 self.hot_buckets = _Buckets(
                     fine_res, mnx[hot_mask], mxx[hot_mask], mny[hot_mask],
                     mxy[hot_mask], rows[hot_mask],
