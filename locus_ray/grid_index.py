@@ -586,46 +586,41 @@ class GridContain:
             (mny - WORLD_MIN_Y) / WORLD_H * self.axis
         ) + 1
         large = (nx * ny) > LARGE_COVER_CELLS
-        self.large_pos = rows[large]
         small = ~large
         self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small], mxy[small],
                                 rows[small])
+        # oversized zones: coarse-level buckets (a zone can only contain
+        # points in cells it overlaps, so a coarse cover lookup replaces
+        # the brute-force all-large mask with ~a handful of candidates)
+        self.big_buckets = None
+        if large.any():
+            coarse = max(2, min(res, 6))
+            self.big_buckets = _Buckets(coarse, mnx[large], mxx[large],
+                                        mny[large], mxy[large], rows[large])
 
-    def query(self, qx: np.ndarray, qy: np.ndarray, dense_chunk: int = 4096
+    def query(self, qx: np.ndarray, qy: np.ndarray
               ) -> tuple[np.ndarray, np.ndarray]:
         """(query_row, box_id) pairs where box contains point (closed)."""
         qx = np.asarray(qx, dtype=np.float64)
         qy = np.asarray(qy, dtype=np.float64)
-        n = len(qx)
         g = self.g
         out_src = []
         out_ids = []
-
-        # bucket side
-        hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * self.axis), 0, self.axis - 1).astype(np.int64)
-        hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * self.axis), 0, self.axis - 1).astype(np.int64)
-        src, pos = self.buckets.lookup(hcx * self.axis + hcy)
-        if len(pos):
-            ok = contains_point(
-                g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
-                qx[src], qy[src],
-            )
-            out_src.append(src[ok])
-            out_ids.append(self.ids[pos[ok]])
-
-        # dense side: broadcast containment mask per chunk
-        if len(self.large_pos):
-            lp = self.large_pos
-            for s in range(0, n, dense_chunk):
-                e = min(s + dense_chunk, n)
-                m = contains_point(
-                    g["min_x"][lp][None, :], g["max_x"][lp][None, :],
-                    g["min_y"][lp][None, :], g["max_y"][lp][None, :],
-                    qx[s:e, None], qy[s:e, None],
+        for b in (self.buckets, self.big_buckets):
+            if b is None:
+                continue
+            hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * b.axis),
+                          0, b.axis - 1).astype(np.int64)
+            hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * b.axis),
+                          0, b.axis - 1).astype(np.int64)
+            src, pos = b.lookup(hcx * b.axis + hcy)
+            if len(pos):
+                ok = contains_point(
+                    g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
+                    qx[src], qy[src],
                 )
-                r, c = np.nonzero(m)
-                out_src.append(r + s)
-                out_ids.append(self.ids[lp[c]])
+                out_src.append(src[ok])
+                out_ids.append(self.ids[pos[ok]])
 
         if not out_src:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
