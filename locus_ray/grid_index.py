@@ -542,7 +542,12 @@ class GridKnn:
             else:
                 cov = cov_main
             bound = cov * cov
-            done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] <= bound)
+            # STRICT retirement: an unseen bucket geometry can sit exactly
+            # at the ring-coverage distance (d2 == bound) with a smaller
+            # id than the current kth candidate, so a closed comparison
+            # would violate the smallest-id tie-break; mirror the U_all
+            # filter, which deliberately keeps boundary ties instead
+            done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] < bound)
             active = active[~done]
             r_prev = r_new
             r_new = min(2 * r_new + 1, axis)

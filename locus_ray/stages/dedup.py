@@ -160,7 +160,6 @@ def simhash(ds, text_col: str = "text"):
             hs = np.fromiter((hash_token(w) for w in toks), dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
             votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hs)
-            val = np.uint64(0)
             val = (np.uint64(votes > 0) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
             out[i] = np.int64(val.astype(np.int64))
         return pa.table({

@@ -73,8 +73,9 @@ def text_stats(ds, text_col: str = "text"):
 
 class LangIdActor:
     """Heuristic language ID: stopword-profile vote over lowercased
-    tokens (tie/no-signal -> 'unknown').  Profiles compiled once per
-    actor."""
+    tokens.  Zero stopword hits -> 'unknown'; equal top counts resolve
+    to the alphabetically-first language (deterministic, mirrored by
+    the SQL oracle's CASE chain).  Profiles compiled once per actor."""
 
     def __init__(self):
         import re

@@ -62,8 +62,10 @@ def run_shard(out_dir: str, shard: str, build: Callable[[], "object"],
         _parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp)
         if f.endswith(".parquet")
     )
+    _fsync_tree(tmp)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
+    _fsync_dir(out_dir)
     record = {
         "shard": shard,
         "rows": int(n_rows),
@@ -74,8 +76,34 @@ def run_shard(out_dir: str, shard: str, build: Callable[[], "object"],
     tmp_marker = marker + ".tmp"
     with open(tmp_marker, "w") as f:
         json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp_marker, marker)
+    _fsync_dir(os.path.dirname(marker))
     return record
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every file under ``path`` plus the directory itself, so the
+    subsequent rename exposes only fully-flushed data (crash after the
+    rename can otherwise surface a 'complete' shard with lost pages)."""
+    for name in os.listdir(path):
+        fp = os.path.join(path, name)
+        if os.path.isfile(fp):
+            fd = os.open(fp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    _fsync_dir(path)
 
 
 def _parquet_rows(path: str) -> int:
