@@ -647,7 +647,10 @@ def _q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact, broadcast full matrix).
 
     At this corpus size the exact all-pairs path is the right call;
-    the LSH-bucketed variant (ann_lsh) is the scale path."""
+    the LSH-bucketed variant (ann_lsh) is the scale path.  Threshold
+    0.4 is chosen to FIRE on the fixture corpus (max off-diagonal
+    cosine ~0.5; nearest sims sit >5e-4 away from the cut on both
+    sides, so the float32 DuckDB cosine agrees exactly)."""
     import ray
 
     from .sources import tables
@@ -674,7 +677,8 @@ def _q_embed_dup_pairs(sf_dir: str):
             mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
             bid = batch.column("vec_id").to_numpy().astype(np.int64)
             sims = mm @ self.mn.T
-            r, c = np.nonzero((sims >= 0.8) & (bid[:, None] < self.ids[None, :]))
+            r, c = np.nonzero((sims >= workload.EMBED_DUP_THRESHOLD)
+                              & (bid[:, None] < self.ids[None, :]))
             return pa.table({
                 "vec_a": pa.array(bid[r]),
                 "vec_b": pa.array(self.ids[c]),
@@ -686,10 +690,26 @@ def _q_embed_dup_pairs(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Media features with the list<float> vector exploded to scalar
+    f00..f15 columns so the driver's value-hash compare (which sorts
+    scalar columns) can verify them against the SQL oracle."""
     from .sources import synth
     from .stages import multimodal
 
-    return multimodal.media_features(synth.interleaved_docs(500), decode="fake")
+    out = multimodal.media_features(synth.interleaved_docs(500), decode="fake")
+
+    def explode_feature(batch: pa.Table) -> pa.Table:
+        feat = batch.column("feature")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        m = feat.values.to_numpy(zero_copy_only=False).reshape(batch.num_rows, -1)
+        t = batch.drop_columns(["feature"])
+        for j in range(m.shape[1]):
+            t = t.append_column(f"f{j:02d}", pa.array(m[:, j]))
+        return t
+
+    return out.map_batches(explode_feature, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def _q_flagship_spans(sf_dir: str):
@@ -756,11 +776,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from . import oracles
+    from .stages import pip as pip_mod
+    from .stages.text import _LANG_PROFILES
+
     docs = derive.sql_docs_geo()
     zones = derive.sql_zones()
     segs = derive.sql_segments()
     qp = workload.sql_query_points()
     qb = workload.sql_query_boxes()
+    polys = pip_mod.polygon_payload(np.arange(25, dtype=np.int64))["polygons"]
 
     knn_zones_sql = f"""
     WITH d AS ({docs}), z AS ({zones}),
@@ -790,6 +815,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zone_contains_doc": contains_sql,
         "zone_contains_doc_shuffle": contains_sql,
+        "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
+        "pip_docs": oracles.pip_docs_sql(docs, polys),
+        "lang_id": oracles.lang_id_sql(_LANG_PROFILES),
+        "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
+        "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
+        "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
+        "media_features": oracles.media_features_sql(n_docs=500, dim=16),
         "find_box_docs": f"""
             WITH d AS ({docs})
             SELECT qb.query_id, d.doc_id FROM d CROSS JOIN {qb}

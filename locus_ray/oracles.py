@@ -1,0 +1,295 @@
+"""Generated DuckDB oracle SQL for the queries whose round-1 gate was
+rows-only (VERDICT.md "Next round" #1).
+
+Every builder here returns a self-contained ANSI-SQL string over the
+driver's pre-registered parquet views (plus DuckDB's ``range`` /
+``generate_series`` for the synthetic-corpus queries).  Constants that
+both sides share (polygon vertices, hyperplanes, hash parameters) are
+embedded as exact float64 / int64 literals via :func:`derive.F` so the
+SQL recomputes the result independently of the Ray engine's numpy path
+— same discipline as :mod:`locus_ray.derive`.
+
+Integer-hash parity: the engine's token hash is byte-level FNV-1a
+(:func:`locus_ray.stages.text.hash_token`); the SQL mirrors it with a
+``list_reduce`` over character code points, which is identical for
+ASCII corpora (the testdata generator emits pure-ASCII text; verified
+in tools/check_correctness runs).  All mod-2^64 arithmetic runs in
+HUGEINT with an explicit ``% 2^64``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import derive
+from .config import DEFAULT_CELL_RES, SQUARE_SIZE
+
+RES = DEFAULT_CELL_RES
+_SHIFT_DIV = 1 << (16 - RES)
+_AXIS = 1 << RES
+
+_FNV_SEED = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_M64 = 1 << 64
+
+
+def _sql_grid_expr(x: str, y: str) -> tuple[str, str]:
+    """16-bit grid coords of float exprs (mirrors cells.grid_coords)."""
+    F = derive.F
+    ix = (f"LEAST(GREATEST(CAST(FLOOR((({x} - ({F(-180.0)})) / 360.0e0) * "
+          f"{F(SQUARE_SIZE)}) AS BIGINT), 0), 65535)")
+    iy = (f"LEAST(GREATEST(CAST(FLOOR((({y} - ({F(-90.0)})) / 180.0e0) * "
+          f"{F(SQUARE_SIZE)}) AS BIGINT), 0), 65535)")
+    return ix, iy
+
+
+def fnv_sql(expr: str) -> str:
+    """Byte-level FNV-1a of a VARCHAR expression (ASCII assumption:
+    code point == byte).  Returns a HUGEINT in [0, 2^64)."""
+    return (
+        f"list_reduce(list_prepend(CAST({_FNV_SEED} AS HUGEINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ord(substr({expr}, CAST(i AS INT), 1)) AS HUGEINT))), "
+        f"(acc, c) -> (xor(acc, c) * {_FNV_PRIME}) % {_M64})"
+    )
+
+
+def _u64_to_i64(expr: str) -> str:
+    """HUGEINT in [0, 2^64) -> signed int64 (two's complement view,
+    matching numpy's ``uint64.astype(int64)``)."""
+    return (f"CAST(CASE WHEN ({expr}) >= {1 << 63} THEN ({expr}) - {_M64} "
+            f"ELSE ({expr}) END AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# hilbert_rank — classic xy2d as a recursive CTE (independent of the
+# engine's branchless formulation in locus_ray/hilbert.py)
+# ---------------------------------------------------------------------------
+
+def hilbert_rank_sql(grid_cte: str) -> str:
+    """``grid_cte`` must yield (doc_id, ix, iy)."""
+    return f"""
+    WITH RECURSIVE g AS ({grid_cte}),
+    h(doc_id, x, y, rnk, step) AS (
+      SELECT doc_id, ix, iy, CAST(0 AS BIGINT), CAST(32768 AS BIGINT) FROM g
+      UNION ALL
+      SELECT doc_id,
+        CASE WHEN (y & step) = 0
+             THEN CASE WHEN (x & step) > 0 THEN 65535 - y ELSE y END
+             ELSE x END,
+        CASE WHEN (y & step) = 0
+             THEN CASE WHEN (x & step) > 0 THEN 65535 - x ELSE x END
+             ELSE y END,
+        rnk + step * step *
+          CASE WHEN (x & step) > 0
+               THEN CASE WHEN (y & step) > 0 THEN 2 ELSE 3 END
+               ELSE CASE WHEN (y & step) > 0 THEN 1 ELSE 0 END END,
+        step // 2
+      FROM h WHERE step > 0
+    )
+    SELECT doc_id, rnk AS hilbert_key FROM h WHERE step = 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# pip_docs — per-polygon crossing-number CASE chains (ROADMAP #9)
+# ---------------------------------------------------------------------------
+
+def pip_docs_sql(docs_cte: str, polygons: list[dict]) -> str:
+    """Crossing-number containment per polygon, closed boundary —
+    mirrors kernels.points_in_polygon op-for-op (same float sequence:
+    x_int = x1 + (py - y1) / (y2 - y1) * (x2 - x1))."""
+    F = derive.F
+    selects = []
+    for p in polygons:
+        rx, ry = p["ring_x"], p["ring_y"]
+        n = len(rx)
+        cross_terms = []
+        edge_terms = []
+        for i in range(n):
+            x1, y1 = F(rx[i]), F(ry[i])
+            x2, y2 = F(rx[(i + 1) % n]), F(ry[(i + 1) % n])
+            cond = f"(({y1} > d.y) <> ({y2} > d.y))"
+            x_int = f"({x1} + (d.y - {y1}) / ({y2} - {y1}) * ({x2} - {x1}))"
+            cross_terms.append(
+                f"CASE WHEN {cond} AND d.x < {x_int} THEN 1 ELSE 0 END"
+            )
+            cr = f"(({x2} - {x1}) * (d.y - {y1}) - ({y2} - {y1}) * (d.x - {x1}))"
+            edge_terms.append(
+                f"({cr} = 0.0e0 AND LEAST({x1}, {x2}) <= d.x AND d.x <= GREATEST({x1}, {x2})"
+                f" AND LEAST({y1}, {y2}) <= d.y AND d.y <= GREATEST({y1}, {y2}))"
+            )
+        inside = f"(({' + '.join(cross_terms)}) % 2 = 1)"
+        on_edge = " OR ".join(edge_terms)
+        selects.append(
+            f"SELECT d.doc_id, CAST({p['polygon_id']} AS BIGINT) AS polygon_id "
+            f"FROM d WHERE ({inside} OR ({on_edge})) "
+            f"AND {p['polygon_id']} IN (SELECT n_nationkey FROM nation)"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH d AS ({docs_cte})\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# lang_id — stopword-profile vote (mirrors text.LangIdActor)
+# ---------------------------------------------------------------------------
+
+def lang_id_sql(profiles: dict[str, set[str]]) -> str:
+    langs = sorted(k for k, v in profiles.items() if v)
+    counts = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(profiles[lang]))
+        counts.append(
+            f"length(list_filter(toks, t -> t IN ({words}))) AS n_{lang}"
+        )
+    g = "GREATEST(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'unknown' "
+    # first language (alphabetical) reaching the max wins — identical to
+    # the engine's `n > best_n` scan over sorted profiles
+    for lang in langs:
+        case += f"WHEN n_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    c AS (SELECT doc_id, {', '.join(counts)} FROM t)
+    SELECT doc_id, {case} AS lang_pred FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# flagship_spans — synthetic corpus kNN join, fully derived in SQL
+# ---------------------------------------------------------------------------
+
+def flagship_spans_sql(n_docs: int, k: int) -> str:
+    F = derive.F
+    m = F(1000003)
+    # doc_xy on raw integer ids (derive.doc_xy, id domain 0..n-1)
+    x = (f"CASE WHEN id % 5 = 0 "
+         f"THEN {F(derive.HOT_X)} + ((((id * 2654435761) % 1000003) / {m}) * 4.0e0 - 2.0e0) "
+         f"ELSE (((id * 2654435761) % 1000003) / {m}) * 360.0e0 - 180.0e0 END")
+    y = (f"CASE WHEN id % 5 = 0 "
+         f"THEN {F(derive.HOT_Y)} + ((((id * 40503 + 12345) % 1000003) / {m}) * 2.0e0 - 1.0e0) "
+         f"ELSE (((id * 40503 + 12345) % 1000003) / {m}) * 180.0e0 - 90.0e0 END")
+    ix, iy = _sql_grid_expr("x", "y")
+    box_d2 = (
+        "GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0) * GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0)"
+        " + GREATEST(z.min_y - d.y, d.y - z.max_y, 0.0) * GREATEST(z.min_y - d.y, d.y - z.max_y, 0.0)"
+    )
+    return f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS id),
+    pts AS (SELECT id, {x} AS x, {y} AS y FROM ids),
+    d AS (SELECT id, x, y,
+          ({ix} // {_SHIFT_DIV}) * {_AXIS} + ({iy} // {_SHIFT_DIV}) AS cell_id
+          FROM pts),
+    z AS ({derive.sql_zones()}),
+    scored AS (SELECT d.id, d.cell_id, z.zone_id, {box_d2} AS d2
+               FROM d CROSS JOIN z),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, zone_id) AS rnk
+               FROM scored)
+    SELECT 'doc-' || lpad(CAST(id AS VARCHAR), 10, '0') AS doc_id,
+           cell_id, zone_id, rnk, d2
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# tile_index_stats — packed-R-tree structural metrics from group size
+# ---------------------------------------------------------------------------
+
+def tile_index_stats_sql(res: int = 4, max_children: int = 16) -> str:
+    """Height of a bottom-up packed tree over n leaves equals the number
+    of ceil(n/mc) applications until one node remains (min 1), plus the
+    leaf level — mirrors PackedRTree's pack loop (index/rtree.py:111-140)."""
+    shift_div = 1 << (16 - res)
+    axis = 1 << res
+    ix, iy = _sql_grid_expr("(z.min_x + z.max_x) / 2.0e0", "(z.min_y + z.max_y) / 2.0e0")
+    return f"""
+    WITH RECURSIVE z AS ({derive.sql_zones()}),
+    t AS (SELECT ({ix} // {shift_div}) * {axis} + ({iy} // {shift_div}) AS tile FROM z),
+    c AS (SELECT tile, COUNT(*) AS n_zones FROM t GROUP BY tile),
+    h(tile, m, lv) AS (
+      SELECT tile, n_zones, 1 FROM c
+      UNION ALL
+      SELECT tile, CAST(CEIL(m / {max_children}.0) AS BIGINT), lv + 1
+      FROM h WHERE m > 1 OR lv = 1
+    )
+    SELECT c.tile, c.n_zones, mx.height, TRUE AS valid
+    FROM c JOIN (SELECT tile, MAX(lv) AS height FROM h GROUP BY tile) mx
+      ON c.tile = mx.tile
+    """
+
+
+# ---------------------------------------------------------------------------
+# embed_dup_pairs — exact all-pairs cosine threshold
+# ---------------------------------------------------------------------------
+
+def embed_dup_pairs_sql(threshold: float) -> str:
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {derive.F(threshold)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# media_features — synthetic interleaved spans + sha256-derived features
+# ---------------------------------------------------------------------------
+
+def _synth_spans_cte(n_docs: int) -> str:
+    """(parent, local, n_spans, kind_code, kind, media_ref) for every
+    span of the deterministic corpus (mirrors sources/synth.spans_for)."""
+    return f"""
+    ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS parent),
+    ns AS (SELECT parent, 1 + (parent * 2654435761) % 8 AS n_spans FROM ids),
+    sp AS (SELECT parent, n_spans, unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS lcl
+           FROM ns),
+    spans AS (
+      SELECT parent, lcl, n_spans,
+             (parent * 7 + lcl * 3) % 4 AS kind_code,
+             CASE (parent * 7 + lcl * 3) % 4
+               WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'audio' ELSE 'table' END AS kind,
+             'media://' ||
+             CASE (parent * 7 + lcl * 3) % 4
+               WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'audio' ELSE 'table' END ||
+             '/' || CAST(parent * 31 + lcl AS VARCHAR) AS media_ref
+      FROM sp
+    )"""
+
+
+def _hex_byte(col: str, i: int) -> str:
+    """Value of byte ``i`` (0-based) of a lowercase hex digest column."""
+    hi = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def media_features_sql(n_docs: int, dim: int = 16) -> str:
+    """Per-media-span feature vector: sha256(media_ref) digest repeated
+    to dim*8 bytes, read as little-endian uint64s, >> 11, / 2^53 —
+    mirrors multimodal.MediaFeatureActor._decode_one bit-for-bit (the
+    >>11 keeps values < 2^53 so the int->double cast is exact)."""
+    feat_cols = []
+    for j in range(dim):
+        terms = [
+            f"CAST({_hex_byte('hx', (j * 8 + t) % 32)} AS HUGEINT) * {1 << (8 * t)}"
+            for t in range(8)
+        ]
+        val = "(" + " + ".join(terms) + ")"
+        feat_cols.append(
+            f"CAST(({val} // 2048) AS DOUBLE) / 9.007199254740992e15 AS f{j:02d}"
+        )
+    return f"""
+    WITH {_synth_spans_cte(n_docs)},
+    media AS (
+      SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+             lcl AS span_idx, kind, media_ref, sha256(media_ref) AS hx
+      FROM spans WHERE kind_code <> 0
+    )
+    SELECT doc_id, span_idx, kind, media_ref, {', '.join(feat_cols)}
+    FROM media
+    """

@@ -47,6 +47,9 @@ K_DOCS = 5    # query point -> k nearest docs (K2 shape)
 K_SEGMENTS = 4  # query point -> k nearest segments (S4 shape)
 ANN_K = 10
 ANN_QUERY_IDS = [0, 1, 2, 3]  # embeddings used as ANN query vectors
+# chosen to fire on the fixture embeddings (max off-diag cosine ~0.5)
+# with >5e-4 separation from the nearest sims on both sides at every sf
+EMBED_DUP_THRESHOLD = 0.4
 
 
 def sql_query_points() -> str:
