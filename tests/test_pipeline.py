@@ -114,6 +114,26 @@ def test_minhash_lsh_finds_planted_near_dups(ray_session):
     assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_minhash_lsh_degenerate_bucket_is_linear(ray_session):
+    """10^3 identical docs land in ONE bucket per band; star linking
+    must emit exactly n-1 (rep, member) pairs — not O(n^2) — with
+    est_jaccard 1.0 (VERDICT.md 'What's wrong' #4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    n = 1000
+    texts = ["identical boilerplate text repeated for every document"] * n
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                                 "text": texts}))
+    pairs = dedup.minhash_lsh_pairs(ds).to_pandas()
+    assert len(pairs) == n - 1
+    assert set(pairs["doc_a"]) == {0}
+    assert set(pairs["doc_b"]) == set(range(1, n))
+    assert (pairs["est_jaccard"] == 1.0).all()
+
+
 def test_simhash_identical_texts_equal(ray_session):
     import pyarrow as pa
     import ray.data as rd
