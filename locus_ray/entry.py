@@ -372,12 +372,10 @@ def _q_top_tokens(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token").aggregate(Sum("n", alias_name="n_occurrences"))
     )
-    import pandas as pd
-
-    df = counts.to_pandas()
-    df = df.sort_values(["n_occurrences", "token"],
-                        ascending=[False, True]).head(20).reset_index(drop=True)
-    return df
+    # distributed sort + limit: the full vocabulary never reaches the
+    # driver (a web-scale vocab is billions of rows — VERDICT.md #5)
+    return counts.sort(["n_occurrences", "token"],
+                       descending=[True, False]).limit(20)
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -617,22 +615,35 @@ def _q_customer_orders(sf_dir: str):
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust.column("c_custkey").to_pylist(),
-                      cust.column("c_mktsegment").to_pylist()))
-    ref = ray.put(lookup)
+    keys = cust.column("c_custkey").to_numpy()
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put({
+        "keys": keys[order],
+        "codes": seg_dict.indices.to_numpy(zero_copy_only=False)[order],
+        "cats": seg_dict.dictionary.to_pylist(),
+    })
 
     class SegmentJoin:
+        """Broadcast dimension join: sorted-key searchsorted + bincount
+        over dictionary codes — no per-row Python dict lookups
+        (VERDICT.md "What's wrong" #6)."""
+
         def __init__(self):
-            self.lookup = ray.get(ref)
+            p = ray.get(ref)
+            self.keys, self.codes, self.cats = p["keys"], p["codes"], p["cats"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            seg = [self.lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
-            g = pd.Series(seg).value_counts()
+            k = batch.column("o_custkey").to_numpy()
+            loc = np.searchsorted(self.keys, k)
+            loc = np.minimum(loc, len(self.keys) - 1)
+            hit = self.keys[loc] == k
+            counts = np.bincount(self.codes[loc[hit]], minlength=len(self.cats))
+            nz = np.nonzero(counts)[0]
             return pa.table({
-                "c_mktsegment": pa.array(g.index.astype(str)),
-                "n": pa.array(g.to_numpy().astype(np.int64)),
+                "c_mktsegment": pa.array([self.cats[i] for i in nz],
+                                         type=pa.string()),
+                "n": pa.array(counts[nz].astype(np.int64)),
             })
 
     orders = tables.read_table(sf_dir, "orders", columns=["o_custkey"])

@@ -554,6 +554,211 @@ class GridKnn:
         return best_id, best_d
 
 
+class SegSegGridKnn:
+    """Batched segment->segment kNN (S1/S2 at scale): ring expansion
+    around each query segment's MIDPOINT cell over CSR buckets of build
+    segment bboxes, scored with the vectorized P7 kernel — replaces the
+    per-row best-first tree probes of round 1 (VERDICT.md #7).
+
+    Expansion source is the query segment's COVER RECTANGLE (its bbox's
+    cell range), not a midpoint cell: after sweeping the rectangle
+    padded by r rings, every unseen build segment covers only cells
+    with >= r whole cells of gap to the query bbox, so its distance to
+    the query segment is >= r*min_cell — the bound pays no
+    half-length penalty, which matters because fixture segments span
+    multiple cells.  A row retires once it holds k candidates strictly
+    inside that bound.  Ties break on smallest id; ``exclude`` ids
+    (self-joins) are dropped before the merge.
+    """
+
+    def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        n = len(self.ids)
+        res = min(res, max(2, int(round(np.log2(max(n, 2)) / 2)) + 1))
+        self.res = res
+        self.axis = 1 << res
+        self.cell_w = WORLD_W / self.axis
+        self.cell_h = WORLD_H / self.axis
+        self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
+        mnx, mxx, mny, mxy = _bbox_of("segment", self.g)
+        rows = np.arange(n, dtype=np.int64)
+        nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis) - np.floor(
+            (mnx - WORLD_MIN_X) / WORLD_W * self.axis) + 1
+        ny = np.floor((mxy - WORLD_MIN_Y) / WORLD_H * self.axis) - np.floor(
+            (mny - WORLD_MIN_Y) / WORLD_H * self.axis) + 1
+        large = (nx * ny) > LARGE_COVER_CELLS
+        self.large_pos = rows[large]
+        small = ~large
+        self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small],
+                                mxy[small], rows[small])
+
+    @property
+    def size(self) -> int:
+        return len(self.ids)
+
+    def _score(self, pos, qsx, qsy, qex, qey) -> np.ndarray:
+        from .kernels import segments_squared_distance
+
+        g = self.g
+        return segments_squared_distance(
+            g["start_x"][pos], g["start_y"][pos], g["end_x"][pos], g["end_y"][pos],
+            qsx, qsy, qex, qey,
+        )
+
+    def query(self, qsx, qsy, qex, qey, k: int, exclude: np.ndarray | None = None,
+              dense_chunk: int = 2048) -> tuple[np.ndarray, np.ndarray]:
+        qsx = np.asarray(qsx, dtype=np.float64)
+        qsy = np.asarray(qsy, dtype=np.float64)
+        qex = np.asarray(qex, dtype=np.float64)
+        qey = np.asarray(qey, dtype=np.float64)
+        n = len(qsx)
+        if exclude is None:
+            exclude = np.full(n, -1, dtype=np.int64)
+        min_cell = min(self.cell_w, self.cell_h)
+        kk = min(k, self.size)
+
+        best_id = np.full((n, k), -1, dtype=np.int64)
+        best_d = np.full((n, k), np.inf, dtype=np.float64)
+        n_found = np.zeros(n, dtype=np.int64)
+
+        # dense side: oversized segments scored once per query chunk
+        if len(self.large_pos):
+            lp = self.large_pos
+            l_ids = self.ids[lp]
+            for s in range(0, n, dense_chunk):
+                e = min(s + dense_chunk, n)
+                d = self._score(lp[None, :], qsx[s:e, None], qsy[s:e, None],
+                                qex[s:e, None], qey[s:e, None])
+                d = np.where(l_ids[None, :] == exclude[s:e, None], np.inf, d)
+                kd = min(k, d.shape[1])
+                part = (np.argpartition(d, kd - 1, axis=1)[:, :kd]
+                        if kd < d.shape[1]
+                        else np.broadcast_to(np.arange(d.shape[1]), (e - s, d.shape[1])))
+                pd = np.take_along_axis(d, part, axis=1)
+                pids = np.where(np.isinf(pd), -1, l_ids[part])
+                o1 = np.argsort(pids, axis=1, kind="stable")
+                pd1 = np.take_along_axis(pd, o1, axis=1)
+                pids1 = np.take_along_axis(pids, o1, axis=1)
+                o2 = np.argsort(pd1, axis=1, kind="stable")
+                best_d[s:e, :kd] = np.take_along_axis(pd1, o2, axis=1)
+                best_id[s:e, :kd] = np.take_along_axis(pids1, o2, axis=1)
+            n_found[:] = (best_id >= 0).sum(axis=1)
+
+        active = np.arange(n, dtype=np.int64)
+        axis = self.axis
+        qmnx = np.minimum(qsx, qex)
+        qmxx = np.maximum(qsx, qex)
+        qmny = np.minimum(qsy, qey)
+        qmxy = np.maximum(qsy, qey)
+        cx0 = np.clip(np.floor((qmnx - WORLD_MIN_X) / WORLD_W * axis), 0, axis - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((qmxx - WORLD_MIN_X) / WORLD_W * axis), 0, axis - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((qmny - WORLD_MIN_Y) / WORLD_H * axis), 0, axis - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((qmxy - WORLD_MIN_Y) / WORLD_H * axis), 0, axis - 1).astype(np.int64)
+
+        # first gather = cover rect + 1 ring in ONE band (the r=0 bound
+        # is zero, so no row could retire after a cover-only round)
+        r_prev = -1
+        r_new = 1
+        while len(active):
+            rows, cells = _rect_band_cells(
+                cx0[active], cx1[active], cy0[active], cy1[active],
+                r_prev, r_new, axis,
+            )
+            src, pos = self.buckets.lookup(cells)
+            q_row = rows[src]
+
+            if len(pos):
+                # dedupe (query, member) pairs gathered via several
+                # cells of the same band before the expensive scoring
+                keyed = q_row * np.int64(self.size) + pos
+                uniq = np.unique(keyed)
+                q_row = uniq // self.size
+                pos = uniq % self.size
+                cand_ids = self.ids[pos]
+                ok = cand_ids != exclude[active][q_row]
+                q_row, pos, cand_ids = q_row[ok], pos[ok], cand_ids[ok]
+            if len(pos):
+                aq = active[q_row]
+                d2 = self._score(pos, qsx[aq], qsy[aq], qex[aq], qey[aq])
+                cur_rows = np.repeat(np.arange(len(active), dtype=np.int64),
+                                     n_found[active])
+                cur_mask = best_id[active] >= 0
+                all_rows = np.concatenate((cur_rows, q_row))
+                all_ids = np.concatenate((best_id[active][cur_mask], cand_ids))
+                all_d = np.concatenate((best_d[active][cur_mask], d2))
+                order = np.lexsort((all_ids, all_d, all_rows))
+                all_rows = all_rows[order]
+                all_ids = all_ids[order]
+                all_d = all_d[order]
+                if len(all_rows) > 1:
+                    keep = np.ones(len(all_rows), dtype=bool)
+                    keep[1:] = ~((all_rows[1:] == all_rows[:-1])
+                                 & (all_ids[1:] == all_ids[:-1]))
+                    all_rows, all_ids, all_d = all_rows[keep], all_ids[keep], all_d[keep]
+                row_start = np.searchsorted(all_rows, np.arange(len(active)))
+                rank = np.arange(len(all_rows)) - row_start[all_rows]
+                sel = rank < k
+                kr = all_rows[sel]
+                kcol = rank[sel]
+                bi = np.full((len(active), k), -1, dtype=np.int64)
+                bd = np.full((len(active), k), np.inf)
+                bi[kr, kcol] = all_ids[sel]
+                bd[kr, kcol] = all_d[sel]
+                best_id[active] = bi
+                best_d[active] = bd
+                n_found[active] = np.bincount(kr, minlength=len(active))
+
+            if r_new >= axis:
+                break
+            bound = (r_new * min_cell) ** 2
+            done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] < bound)
+            active = active[~done]
+            r_prev = r_new
+            r_new = min(max(2 * r_new, 1), axis)
+        return best_id, best_d
+
+
+def _enum_rects(xlo, xhi, ylo, yhi, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate (row, cell_id) for per-row inclusive cell rectangles,
+    clipped to the grid; rows with empty (or fully clipped) rectangles
+    contribute nothing."""
+    xlo = np.maximum(xlo, 0)
+    xhi = np.minimum(xhi, axis - 1)
+    ylo = np.maximum(ylo, 0)
+    yhi = np.minimum(yhi, axis - 1)
+    nx = np.maximum(xhi - xlo + 1, 0)
+    ny = np.maximum(yhi - ylo + 1, 0)
+    cnt = nx * ny
+    total = int(cnt.sum())
+    rows = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    if total == 0:
+        return rows, np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    ny_r = np.repeat(ny, cnt)
+    cx = np.repeat(xlo, cnt) + local // ny_r
+    cy = np.repeat(ylo, cnt) + local % ny_r
+    return rows, cx * axis + cy
+
+
+def _rect_band_cells(cx0, cx1, cy0, cy1, r_lo: int, r_hi: int, axis: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Cells of each row's rectangle padded by ``r_hi`` rings MINUS the
+    same rectangle padded by ``r_lo`` (``r_lo < 0`` -> the full padded
+    rectangle).  Disjoint 4-strip decomposition (top/bottom bands full
+    width, left/right bands between them)."""
+    if r_lo < 0:
+        return _enum_rects(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy1 + r_hi, axis)
+    parts = [
+        _enum_rects(cx0 - r_hi, cx1 + r_hi, cy1 + r_lo + 1, cy1 + r_hi, axis),
+        _enum_rects(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy0 - r_lo - 1, axis),
+        _enum_rects(cx0 - r_hi, cx0 - r_lo - 1, cy0 - r_lo, cy1 + r_lo, axis),
+        _enum_rects(cx1 + r_lo + 1, cx1 + r_hi, cy0 - r_lo, cy1 + r_lo, axis),
+    ]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+
+
 def _annulus_offsets(r_lo: int, r_hi: int) -> np.ndarray:
     """(dx, dy) offsets with Chebyshev distance in (r_lo, r_hi]."""
     side = np.arange(-r_hi, r_hi + 1, dtype=np.int64)

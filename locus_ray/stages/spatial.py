@@ -119,21 +119,24 @@ class KnnJoinActor:
 
 
 class SegSegKnnActor:
-    """S1/S2-shaped segment->segment kNN join: streaming segments probe
-    a broadcast :class:`SegmentTree` (built once per actor); self-match
-    is excluded by id.  Per-row best-first probes are appropriate here
-    because the streaming side of a segment-to-segment join is itself a
-    dimension-scale layer (networks, not documents)."""
+    """S1/S2-shaped segment->segment kNN join: streaming segment batches
+    probe a broadcast :class:`locus_ray.grid_index.SegSegGridKnn`
+    (built once per actor) in fully vectorized ring-expansion passes —
+    no per-row Python or per-row tree descents (VERDICT.md #7/#8).
+    Self-match is excluded by id before the merge."""
 
     def __init__(self, segs_ref, k: int, id_col: str = "segment_id",
-                 id_out: str = "neighbor_id"):
+                 id_out: str = "neighbor_id",
+                 res: int = DEFAULT_CELL_RES):
         import ray as _ray
 
-        from ..index import SegmentTree
+        from ..grid_index import SegSegGridKnn
 
         p = _ray.get(segs_ref) if isinstance(segs_ref, _ray.ObjectRef) else segs_ref
-        self.tree = SegmentTree(p["start_x"], p["start_y"], p["end_x"], p["end_y"],
-                                ids=p["ids"])
+        self.index = SegSegGridKnn(
+            {k_: p[k_] for k_ in ("start_x", "start_y", "end_x", "end_y")},
+            p["ids"], res,
+        )
         self.k = k
         self.id_col, self.id_out = id_col, id_out
 
@@ -143,24 +146,17 @@ class SegSegKnnActor:
         sy = batch.column("start_y").to_numpy(zero_copy_only=False)
         ex = batch.column("end_x").to_numpy(zero_copy_only=False)
         ey = batch.column("end_y").to_numpy(zero_copy_only=False)
-        out_id, out_nb, out_rnk, out_d2 = [], [], [], []
-        for i in range(len(sid)):
-            got = 0
-            for nb, d2 in self.tree.n_nearest_to_segment_iter(sx[i], sy[i], ex[i], ey[i]):
-                if nb == sid[i]:
-                    continue
-                got += 1
-                out_id.append(sid[i])
-                out_nb.append(nb)
-                out_rnk.append(got)
-                out_d2.append(d2)
-                if got == self.k:
-                    break
+        ids, d2 = self.index.query(sx, sy, ex, ey, self.k,
+                                   exclude=sid.astype(np.int64))
+        found = ids >= 0
+        src = np.repeat(np.arange(len(sid), dtype=np.int64), found.sum(axis=1))
+        ranks = np.tile(np.arange(self.k, dtype=np.int64),
+                        len(sid)).reshape(len(sid), self.k)[found]
         return pa.table({
-            self.id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
-            self.id_out: pa.array(np.asarray(out_nb, dtype=np.int64)),
-            "rnk": pa.array(np.asarray(out_rnk, dtype=np.int64)),
-            "d2": pa.array(np.asarray(out_d2, dtype=np.float64)),
+            self.id_col: pa.array(sid[src]),
+            self.id_out: pa.array(ids[found]),
+            "rnk": pa.array(ranks + 1),
+            "d2": pa.array(d2[found]),
         })
 
 
