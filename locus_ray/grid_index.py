@@ -246,7 +246,13 @@ class GridKnn:
             self._dense_lists = False
             return False
         k = max(k, 8)
-        f_res = min(self.res, 6)
+        # cap the bounds-grid so the once-per-actor list build stays
+        # O(256M) cell x geometry evaluations even for huge build sides
+        # (coarser cells only loosen the lists, never break them)
+        budget = 268_435_456
+        n_geoms = len(self.ids)
+        f_cap = max(2, int(np.log2(max(budget // max(n_geoms, 1), 4))) // 2)
+        f_res = min(self.res, 6, f_cap)
         axis = 1 << f_res
         f_w = WORLD_W / axis
         f_h = WORLD_H / axis
@@ -290,16 +296,21 @@ class GridKnn:
         self._u_all = u_all
         self._df_res = f_res
 
-        # dense relevant lists (box kind only), filtered by U_all
-        if self.kind == "box" and len(self.large_pos):
-            lp = self.large_pos
-            z_mnx = self.g["min_x"][lp]
-            z_mxx = self.g["max_x"][lp]
-            z_mny = self.g["min_y"][lp]
-            z_mxy = self.g["max_y"][lp]
+        # COMPLETE per-cell candidate lists (box kind): every zone whose
+        # min-distance to the cell is <= U_all(cell) — by the U_all
+        # argument this list contains the exact top-k candidate set of
+        # every in-cell point for any k <= bounds_k, so in-world box
+        # queries resolve in ONE gather+score+merge pass with no ring
+        # expansion at all.  List sizes are O(local zone density), the
+        # same volume rings would gather, minus the annulus machinery.
+        if self.kind == "box":
+            z_mnx = self.g["min_x"]
+            z_mxx = self.g["max_x"]
+            z_mny = self.g["min_y"]
+            z_mxy = self.g["max_y"]
             members = []
             cells_of = []
-            chunk = max(1, 8_388_608 // max(len(lp), 1))
+            chunk = max(1, 8_388_608 // max(n, 1))
             for s in range(0, n_cells, chunk):
                 e = min(s + chunk, n_cells)
                 gx = np.maximum(np.maximum(z_mnx[None, :] - c_mxx[s:e, None],
@@ -314,7 +325,7 @@ class GridKnn:
             memb_flat = np.concatenate(members)
             counts = np.bincount(cells_flat, minlength=n_cells)
             self._df_offsets = np.concatenate(([0], np.cumsum(counts)))
-            self._df_members = lp[memb_flat]
+            self._df_members = memb_flat
             self._dense_lists = True
         else:
             self._dense_lists = False
@@ -382,6 +393,39 @@ class GridKnn:
             fhy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * f_axis),
                           0, f_axis - 1).astype(np.int64)
             u_pt = np.where(inworld, self._u_all[fhx * f_axis + fhy], np.inf)
+        if dense_filtered and self.kind == "box":
+            # FAST PATH: the per-cell lists are complete top-k candidate
+            # sets for in-world points (see _ensure_cell_bounds), so one
+            # gather + score + merge resolves them — no ring expansion.
+            fast_rows = np.nonzero(inworld)[0]
+            if len(fast_rows):
+                home = fhx[fast_rows] * f_axis + fhy[fast_rows]
+                cnt = self._df_offsets[home + 1] - self._df_offsets[home]
+                total = int(cnt.sum())
+                q_row = np.repeat(fast_rows, cnt)
+                starts = self._df_offsets[home]
+                offs_d = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                local = np.arange(total, dtype=np.int64) - np.repeat(offs_d, cnt)
+                pos = self._df_members[np.repeat(starts, cnt) + local]
+                d2 = self._score(pos, qx[q_row], qy[q_row])
+                within = d2 <= u_pt[q_row]
+                q_row, pos, d2 = q_row[within], pos[within], d2[within]
+                cand_ids = self.ids[pos]
+                order = np.lexsort((cand_ids, d2, q_row))
+                rq, ri, rd = q_row[order], cand_ids[order], d2[order]
+                if len(rq):
+                    run_start = np.flatnonzero(
+                        np.concatenate(([True], rq[1:] != rq[:-1])))
+                    rcounts = np.diff(np.append(run_start, len(rq)))
+                    rank = (np.arange(len(rq), dtype=np.int64)
+                            - np.repeat(run_start, rcounts))
+                    sel = rank < k
+                    best_id[rq[sel], rank[sel]] = ri[sel]
+                    best_d[rq[sel], rank[sel]] = rd[sel]
+                    n_found[rq[run_start]] = np.minimum(rcounts, k)
+            if inworld.all():
+                return best_id, best_d
+
         if len(self.large_pos) and not dense_filtered:
             lp = self.large_pos
             l_ids = self.ids[lp]
@@ -405,7 +449,11 @@ class GridKnn:
             n_found[:] = kd
 
         # 2) bucket side: ring expansion in geometric world-radius rounds
-        active = np.arange(n, dtype=np.int64)
+        # (box kind: only the rare out-of-world remainder reaches here)
+        if dense_filtered and self.kind == "box":
+            active = np.nonzero(~inworld)[0].astype(np.int64)
+        else:
+            active = np.arange(n, dtype=np.int64)
         axis = self.n_cells_axis
         hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * axis), 0, axis - 1).astype(np.int64)
         hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * axis), 0, axis - 1).astype(np.int64)
