@@ -34,16 +34,38 @@ Segment = tuple[Point, Point]
 
 
 class KdTree:
-    """Parity: locus/kd.py:19-55 (build) and its query surface."""
+    """Parity: locus/kd.py:19-55 (build) and its query surface.
 
-    def __init__(self, points: Sequence[Point]):
+    ``context`` mirrors the reference's pluggable ground context
+    (locus/kd.py:34): pass a :class:`locus_ray.context.Context` (or its
+    registered name, e.g. ``"manhattan"``/``"exact"``) to swap the
+    metric/predicate kernels; non-default contexts route the nearest
+    queries through the batched :class:`~locus_ray.grid_index.GridKnn`
+    engine, which honors the context's metric and bound transform."""
+
+    def __init__(self, points: Sequence[Point], context=None):
+        from .context import get_context
+
         self.points = list(points)
+        self._ctx = get_context(context)
         xs = np.asarray([p[0] for p in points], dtype=np.float64)
         ys = np.asarray([p[1] for p in points], dtype=np.float64)
         self._tree = KDTree(xs, ys)
+        self._grid = None
+        if self._ctx.name != "default":
+            from .grid_index import GridKnn
+
+            self._grid = GridKnn("point", {"x": xs, "y": ys},
+                                 np.arange(len(xs), dtype=np.int64), 8,
+                                 context=self._ctx)
 
     # nearest (locus/kd.py:320-374 contract)
     def nearest_item(self, point: Point) -> tuple[int, Point]:
+        if self._grid is not None:
+            if not self.points:
+                raise ValueError("empty tree")
+            ids, _ = self._grid.query(np.asarray([point[0]]), np.asarray([point[1]]), 1)
+            return int(ids[0, 0]), self.points[int(ids[0, 0])]
         i, _ = self._tree.nearest(point[0], point[1])
         return i, self.points[i]
 
@@ -55,6 +77,9 @@ class KdTree:
 
     # n_nearest (locus/kd.py:176-253 contract incl. n >= size fast path)
     def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Point]]:
+        if self._grid is not None:
+            ids, _ = self._grid.query(np.asarray([point[0]]), np.asarray([point[1]]), n)
+            return [(int(i), self.points[int(i)]) for i in ids[0] if i >= 0]
         return [(i, self.points[i]) for i, _ in self._tree.n_nearest(n, point[0], point[1])]
 
     def n_nearest_indices(self, n: int, point: Point) -> list[int]:

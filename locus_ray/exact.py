@@ -96,27 +96,53 @@ def segments_intersect_exact(asx, asy, aex, aey, bsx, bsy, bex, bey) -> np.ndarr
     return proper | touch
 
 
+def segments_squared_distance_exact(asx, asy, aex, aey, bsx, bsy, bex, bey) -> np.ndarray:
+    """P7 with the zero-distance (intersection) PREDICATE decided
+    exactly: nearly-collinear touching configurations that float64
+    orientation misclassifies are forced to distance 0 (or non-0)
+    correctly.  Non-zero distance VALUES remain float64 — the exactness
+    contract covers predicates/comparisons (the reference's Fraction
+    contexts), not the returned magnitudes."""
+    from .kernels import segment_point_squared_distance
+
+    d = np.minimum(
+        np.minimum(
+            segment_point_squared_distance(bsx, bsy, bex, bey, asx, asy),
+            segment_point_squared_distance(bsx, bsy, bex, bey, aex, aey),
+        ),
+        np.minimum(
+            segment_point_squared_distance(asx, asy, aex, aey, bsx, bsy),
+            segment_point_squared_distance(asx, asy, aex, aey, bex, bey),
+        ),
+    )
+    hit = segments_intersect_exact(asx, asy, aex, aey, bsx, bsy, bex, bey)
+    return np.where(hit, 0.0, d)
+
+
 def points_in_polygon_exact(ring_x, ring_y, px, py) -> np.ndarray:
-    """Crossing-number PIP with exact boundary classification.
+    """Crossing-number PIP, fully exact (closed boundary).
 
-    Boundary points (exactly on an edge, decided with exact
-    orientation) count as inside; interior/exterior classification uses
-    the float64 crossing test away from the boundary.
+    The float kernel's crossing comparison ``px < x_int`` is an
+    orientation predicate in disguise (multiply through by ``y2 - y1``),
+    so both the parity test AND the on-edge classification run on
+    :func:`orientation` — the y-straddle condition and the bbox checks
+    are plain comparisons, exact on float64 already.
     """
-    from .kernels import points_in_polygon
-
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    base = points_in_polygon(np.asarray(ring_x), np.asarray(ring_y), px, py)
     n = len(ring_x)
+    inside = np.zeros(len(px), dtype=bool)
     on_edge = np.zeros(len(px), dtype=bool)
     for i in range(n):
-        x1, y1 = ring_x[i], ring_y[i]
-        x2, y2 = ring_x[(i + 1) % n], ring_y[(i + 1) % n]
+        x1, y1 = float(ring_x[i]), float(ring_y[i])
+        x2, y2 = float(ring_x[(i + 1) % n]), float(ring_y[(i + 1) % n])
         s = orientation(x1, y1, np.full_like(px, x2), np.full_like(py, y2), px, py)
         within = (
             (min(x1, x2) <= px) & (px <= max(x1, x2))
             & (min(y1, y2) <= py) & (py <= max(y1, y2))
         )
         on_edge |= (s == 0) & within
-    return base | on_edge
+        cond = (y1 > py) != (y2 > py)
+        crossed = cond & ((s > 0) if y2 > y1 else (s < 0))
+        inside ^= crossed
+    return inside | on_edge

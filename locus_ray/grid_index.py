@@ -126,7 +126,11 @@ class GridKnn:
         geoms: dict[str, np.ndarray],
         ids: np.ndarray,
         res: int,
+        context=None,
     ):
+        from .context import get_context
+
+        self.ctx = get_context(context)
         self.kind = kind
         self.ids = np.asarray(ids, dtype=np.int64)
         n = len(self.ids)
@@ -238,7 +242,7 @@ class GridKnn:
         """
         if getattr(self, "_bounds_k", 0) >= k:
             return self._have_bounds
-        if self.kind == "segment":
+        if self.kind == "segment" or not self.ctx.uses_euclidean_bounds:
             # the cheap per-segment upper bound (endpoint distance) is
             # too loose to pay for itself; segments skip the ceiling
             self._bounds_k = 1 << 30
@@ -336,16 +340,16 @@ class GridKnn:
     # -- scoring -------------------------------------------------------------
 
     def _score(self, pos: np.ndarray, qx, qy) -> np.ndarray:
-        """Squared distance of geometries at ``pos`` vs queries
+        """Context metric of geometries at ``pos`` vs queries
         (broadcasting: pos/qx/qy shapes must broadcast together)."""
         g = self.g
         if self.kind == "point":
-            return points_squared_distance(g["x"][pos], g["y"][pos], qx, qy)
+            return self.ctx.points_squared_distance(g["x"][pos], g["y"][pos], qx, qy)
         if self.kind == "box":
-            return box_point_squared_distance(
+            return self.ctx.box_point_squared_distance(
                 g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos], qx, qy
             )
-        return segment_point_squared_distance(
+        return self.ctx.segment_point_squared_distance(
             g["start_x"][pos], g["start_y"][pos], g["end_x"][pos], g["end_y"][pos], qx, qy
         )
 
@@ -589,7 +593,7 @@ class GridKnn:
                 cov = np.minimum(cov_main, hot_guar)
             else:
                 cov = cov_main
-            bound = cov * cov
+            bound = self.ctx.grid_bound(cov * cov)
             # STRICT retirement: an unseen bucket geometry can sit exactly
             # at the ring-coverage distance (d2 == bound) with a smaller
             # id than the current kth candidate, so a closed comparison
@@ -619,7 +623,11 @@ class SegSegGridKnn:
     (self-joins) are dropped before the merge.
     """
 
-    def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int):
+    def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int,
+                 exact: bool = False, context=None):
+        from .context import get_context
+
+        self.ctx = get_context("exact" if exact and context is None else context)
         self.ids = np.asarray(ids, dtype=np.int64)
         n = len(self.ids)
         res = min(res, max(2, int(round(np.log2(max(n, 2)) / 2)) + 1))
@@ -645,10 +653,8 @@ class SegSegGridKnn:
         return len(self.ids)
 
     def _score(self, pos, qsx, qsy, qex, qey) -> np.ndarray:
-        from .kernels import segments_squared_distance
-
         g = self.g
-        return segments_squared_distance(
+        return self.ctx.segments_squared_distance(
             g["start_x"][pos], g["start_y"][pos], g["end_x"][pos], g["end_y"][pos],
             qsx, qsy, qex, qey,
         )
@@ -758,7 +764,7 @@ class SegSegGridKnn:
 
             if r_new >= axis:
                 break
-            bound = (r_new * min_cell) ** 2
+            bound = self.ctx.grid_bound((r_new * min_cell) ** 2)
             done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] < bound)
             active = active[~done]
             r_prev = r_new
@@ -828,7 +834,11 @@ class GridContain:
     disjoint from the bucket side.
     """
 
-    def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int):
+    def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int,
+                 context=None):
+        from .context import get_context
+
+        self.ctx = get_context(context)
         self.ids = np.asarray(ids, dtype=np.int64)
         self.res = res
         self.axis = 1 << res
@@ -873,7 +883,7 @@ class GridContain:
                           0, b.axis - 1).astype(np.int64)
             src, pos = b.lookup(hcx * b.axis + hcy)
             if len(pos):
-                ok = contains_point(
+                ok = self.ctx.contains_point(
                     g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
                     qx[src], qy[src],
                 )

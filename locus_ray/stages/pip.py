@@ -49,10 +49,17 @@ class PipJoinActor:
 
     def __init__(self, poly_ref, res: int = DEFAULT_CELL_RES,
                  x_col: str = "x", y_col: str = "y",
-                 carry: tuple[str, ...] = ("doc_id",)):
+                 carry: tuple[str, ...] = ("doc_id",),
+                 exact: bool = False):
+        """``exact=True`` (ROADMAP #8 / reference Fraction-context
+        parity): the full-cell fast-accept is disabled and every
+        candidate point runs the exact crossing-number kernel
+        (static-filtered orientation, Fraction fallback) — correct on
+        boundary-adversarial corpora where float64 signs can flip."""
         payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
         self.polys = payload["polygons"]
         self.res = res
+        self.exact = exact
         self.x_col, self.y_col, self.carry = x_col, y_col, carry
         n_axis = 1 << res
 
@@ -77,7 +84,8 @@ class PipJoinActor:
                 if corners_in.all() and not edge_crosses:
                     entries_cell.append(int(c))
                     entries_poly.append(p_idx)
-                    entries_full.append(True)
+                    # exact mode distrusts the float cell classification
+                    entries_full.append(not exact)
                 elif corners_in.any() or edge_crosses:
                     entries_cell.append(int(c))
                     entries_poly.append(p_idx)
@@ -118,10 +126,13 @@ class PipJoinActor:
         # exact refine, grouped per polygon (few polygons -> short loop)
         e_src = src[~full]
         e_poly = poly[~full]
+        pip_kernel = points_in_polygon
+        if self.exact:
+            from ..exact import points_in_polygon_exact as pip_kernel
         for p_idx in np.unique(e_poly):
             rows = e_src[e_poly == p_idx]
             p = self.polys[p_idx]
-            ok = points_in_polygon(p["ring_x"], p["ring_y"], x[rows], y[rows])
+            ok = pip_kernel(p["ring_x"], p["ring_y"], x[rows], y[rows])
             out_src.append(rows[ok])
             out_poly.append(np.full(int(ok.sum()), p_idx, dtype=np.int64))
         src_all = np.concatenate(out_src)

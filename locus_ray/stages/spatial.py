@@ -133,7 +133,7 @@ class SegSegKnnActor:
 
     def __init__(self, segs_ref, k: int, id_col: str = "segment_id",
                  id_out: str = "neighbor_id",
-                 res: int = DEFAULT_CELL_RES):
+                 res: int = DEFAULT_CELL_RES, exact: bool = False):
         import ray as _ray
 
         from ..grid_index import SegSegGridKnn
@@ -141,7 +141,7 @@ class SegSegKnnActor:
         p = _ray.get(segs_ref) if isinstance(segs_ref, _ray.ObjectRef) else segs_ref
         self.index = SegSegGridKnn(
             {k_: p[k_] for k_ in ("start_x", "start_y", "end_x", "end_y")},
-            p["ids"], res,
+            p["ids"], res, exact=exact,
         )
         self.k = k
         self.id_col, self.id_out = id_col, id_out

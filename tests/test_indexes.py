@@ -132,3 +132,48 @@ def test_segment_tree_intersecting_is_zero():
     t = SegmentTree(np.array([0.0]), np.array([0.0]), np.array([10.0]), np.array([0.0]))
     i, d = t.nearest_to_segment(5.0, -1.0, 5.0, 1.0)
     assert (i, d) == (0, 0.0)
+
+
+def test_rtree_max_children_sweep():
+    """Reference parity: tests/r_tests/strategies.py:17-19 sweeps
+    max_children over {2..2^9} union [2, 65535]; validity + query
+    results must be identical at every fan-out."""
+    import numpy as np
+
+    from locus_ray import derive
+    from locus_ray.index import PackedRTree
+    from locus_ray.kernels import box_point_squared_distance
+
+    ids = np.arange(150, dtype=np.int64)
+    mnx, mxx, mny, mxy = derive.zone_box(ids)
+    qx, qy = 12.5, -33.0
+    d2 = box_point_squared_distance(mnx, mxx, mny, mxy, qx, qy)
+    expect = ids[np.lexsort((ids, d2))[:4]].tolist()
+    expect_subsets = None
+    for mc in (2, 3, 4, 5, 8, 16, 64, 128, 512, 65535):
+        t = PackedRTree(mnx, mxx, mny, mxy, ids=ids, max_children=mc)
+        assert t.is_valid(), mc
+        got = [i for i, _ in t.n_nearest(4, qx, qy)]
+        assert got == expect, mc
+        subs = sorted(t.find_subsets(-50.0, 50.0, -50.0, 50.0))
+        if expect_subsets is None:
+            expect_subsets = subs
+        assert subs == expect_subsets, mc
+
+
+def test_segment_tree_max_children_sweep():
+    import numpy as np
+
+    from locus_ray import derive
+    from locus_ray.index import SegmentTree
+    from locus_ray.kernels import segment_point_squared_distance
+
+    ids = np.arange(120, dtype=np.int64)
+    sx, sy, ex, ey = derive.segment_coords(ids)
+    qx, qy = -8.0, 14.0
+    d2 = segment_point_squared_distance(sx, sy, ex, ey, qx, qy)
+    expect = ids[np.lexsort((ids, d2))[:3]].tolist()
+    for mc in (2, 3, 7, 16, 255, 65535):
+        t = SegmentTree(sx, sy, ex, ey, ids=ids, max_children=mc)
+        got = [i for i, _ in t.n_nearest_to_point(3, qx, qy)]
+        assert got == expect, mc
