@@ -700,6 +700,24 @@ def _q_embed_dup_pairs(sf_dir: str):
         DupPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
 
 
+def _q_embed_dup_pairs_lsh(sf_dir: str):
+    """Scale path for embedding dedup: corpus-vs-corpus LSH star pairs
+    + exact cosine verify (see ann.lsh_dup_pairs)."""
+    from .sources import tables
+    from .stages import ann
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vec_id = t.column("vec_id").to_numpy().astype(np.int64)
+    flat = t.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    payload = {"ids": vec_id, "matrix": flat.reshape(len(vec_id), -1)}
+    return ann.lsh_dup_pairs(
+        tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        payload, threshold=workload.EMBED_DUP_THRESHOLD,
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Media features with the list<float> vector exploded to scalar
     f00..f15 columns so the driver's value-hash compare (which sorts
@@ -721,6 +739,24 @@ def _q_media_features(sf_dir: str):
 
     return out.map_batches(explode_feature, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def _q_media_resize(sf_dir: str):
+    """Resize plumbing over image spans (deterministic fake codec)."""
+    from .sources import synth
+    from .stages import multimodal
+
+    return multimodal.media_transform(synth.interleaved_docs(500), op="resize")
+
+
+def _q_media_frames(sf_dir: str):
+    """Frame-sample plumbing over audio/table spans (fake codec:
+    frame count derived from the sha256 first byte)."""
+    from .sources import synth
+    from .stages import multimodal
+
+    return multimodal.media_transform(synth.interleaved_docs(500),
+                                      op="frame_sample")
 
 
 def _q_flagship_spans(sf_dir: str):
@@ -775,7 +811,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "embed_dup_pairs": _q_embed_dup_pairs,
+        "embed_dup_pairs_lsh": _q_embed_dup_pairs_lsh,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "knn_docs_self": _q_knn_docs_self,
         # relational / streaming breadth
         "events_hourly": _q_events_hourly,
@@ -838,7 +877,11 @@ def oracle_sql() -> dict[str, str]:
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
+        "embed_dup_pairs_lsh": oracles.embed_dup_pairs_lsh_sql(
+            workload.EMBED_DUP_THRESHOLD),
         "media_features": oracles.media_features_sql(n_docs=500, dim=16),
+        "media_resize": oracles.media_resize_sql(n_docs=500),
+        "media_frames": oracles.media_frames_sql(n_docs=500),
         "simhash_docs": oracles.simhash_sql(),
         "fingerprint_docs": oracles.fingerprint_sql(window=8),
         "minhash_pairs": oracles.minhash_pairs_sql(_dedup_mod()._MH_A,

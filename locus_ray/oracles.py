@@ -390,6 +390,43 @@ def ann_lsh_sql(query_ids: list[int], k: int, dim: int = 64,
     """
 
 
+def embed_dup_pairs_lsh_sql(threshold: float, n_tables: int = 4,
+                            n_planes: int = 8, seed: int = 29,
+                            dim: int = 64) -> str:
+    """Mirrors ann.lsh_dup_pairs: per-table sign-pattern buckets from
+    the seeded hyperplanes (exact float64 literals), MIN-id bucket
+    representative, distinct star pairs, exact-cosine verification."""
+    F = derive.F
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for j in range(n_planes):
+            col = t * n_planes + j
+            dot = " + ".join(f"embedding[{i + 1}] * {F(planes[i, col])}"
+                             for i in range(dim))
+            terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS ({selects}),
+    reps AS (SELECT tbl, bkt, MIN(vec_id) AS vec_a FROM e GROUP BY tbl, bkt),
+    pairs AS (SELECT DISTINCT r.vec_a, m.vec_id AS vec_b
+              FROM e m JOIN reps r ON m.tbl = r.tbl AND m.bkt = r.bkt
+              WHERE m.vec_id > r.vec_a)
+    SELECT p.vec_a, p.vec_b
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.vec_a
+    JOIN embeddings b ON b.vec_id = p.vec_b
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {derive.F(threshold)}
+    """
+
+
 # ---------------------------------------------------------------------------
 # media_features — synthetic interleaved spans + sha256-derived features
 # ---------------------------------------------------------------------------
@@ -422,6 +459,35 @@ def _hex_byte(col: str, i: int) -> str:
     hi = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 1}, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr({col}, {2 * i + 2}, 1)) - 1)"
     return f"({hi} * 16 + {lo})"
+
+
+def media_resize_sql(n_docs: int, width: int = 224, height: int = 224) -> str:
+    """Mirrors multimodal.MediaTransformActor op='resize': image spans
+    only; payload_hash = first 8 digest bytes = first 16 hex chars."""
+    return f"""
+    WITH {_synth_spans_cte(n_docs)}
+    SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+           lcl AS span_idx, media_ref,
+           CAST({width} AS BIGINT) AS width, CAST({height} AS BIGINT) AS height,
+           substr(sha256(media_ref), 1, 16) AS payload_hash
+    FROM spans WHERE kind = 'image'
+    """
+
+
+def media_frames_sql(n_docs: int, stride: int = 10) -> str:
+    """Mirrors op='frame_sample': audio/table spans, fake frame count
+    1 + digest[0] % 64, every ``stride``-th frame index."""
+    byte0 = _hex_byte("sha256(media_ref)", 0)
+    return f"""
+    WITH {_synth_spans_cte(n_docs)},
+    m AS (SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+                 lcl AS span_idx, media_ref,
+                 1 + {byte0} % 64 AS n_frames
+          FROM spans WHERE kind IN ('audio', 'table'))
+    SELECT doc_id, span_idx, media_ref,
+           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), {stride})) AS frame_idx
+    FROM m
+    """
 
 
 def media_features_sql(n_docs: int, dim: int = 16) -> str:

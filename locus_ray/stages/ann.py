@@ -84,6 +84,96 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def lsh_dup_pairs(ds, matrix_payload: dict[str, np.ndarray],
+                  threshold: float = 0.4, n_tables: int = 4,
+                  n_planes: int = 8, seed: int = 29,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  num_partitions: int = 16):
+    """Corpus-vs-corpus embedding near-dup pairs — the 100 TB scale
+    path (``embed_dup_pairs``' exact variant broadcast-scores the full
+    matrix and is for dimension-scale corpora only).
+
+    Multi-table random-hyperplane LSH with STAR LINKING (the same
+    aggregate-only shape as dedup.minhash_lsh_pairs): one compact
+    (vec_id, table, bucket) row per table -> per-(table, bucket)
+    representative via a Min aggregate -> distinct (rep, member)
+    candidate pairs via a Count aggregate -> exact cosine verification
+    against a broadcast id-sorted matrix (key-range-aligned shards at
+    corpus scale).  A bucket of b members emits b-1 pairs, never
+    O(b^2); recall is tuned by (n_tables, n_planes) for genuinely-near
+    duplicates (cos >= 0.9: ~75% at 4x8; the fixture threshold is
+    lower only so the gate produces rows).
+    """
+    from ray.data.aggregate import Count, Min
+
+    ids_all = np.asarray(matrix_payload["ids"], dtype=np.int64)
+    m_all = np.asarray(matrix_payload["matrix"], dtype=np.float64)
+    dim = m_all.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    planes_ref = ray.put(planes)
+    order = np.argsort(ids_all, kind="stable")
+    mn = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+    emb_ref = ray.put({"keys": ids_all[order], "matrix": mn[order]})
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _as_matrix(batch.column(vec_col))
+            bits = (m @ self.planes > 0).astype(np.int64)
+            vid = batch.column(id_col).to_numpy()
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                seg = bits[:, t * n_planes:(t + 1) * n_planes]
+                bkt = (seg << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
+                out_id.append(vid)
+                out_t.append(np.full(len(vid), t, dtype=np.int64))
+                out_b.append(bkt)
+            return pa.table({
+                id_col: pa.array(np.concatenate(out_id)),
+                "tbl": pa.array(np.concatenate(out_t)),
+                "bkt": pa.array(np.concatenate(out_b)),
+            })
+
+    exploded = ds.map_batches(Bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+    reps = exploded.groupby(["tbl", "bkt"]).aggregate(
+        Min(id_col, alias_name="vec_a"))
+    joined = exploded.join(reps, "inner", num_partitions, on=("tbl", "bkt"))
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch.column(id_col), batch.column("vec_a")))
+        return pa.table({"vec_a": t.column("vec_a"),
+                         "vec_b": t.column(id_col)})
+
+    distinct = (
+        joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="n_tables_hit"))
+    )
+
+    class CosVerify:
+        def __init__(self):
+            p = ray.get(emb_ref)
+            self.keys, self.mat = p["keys"], p["matrix"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.searchsorted(self.keys, batch.column("vec_a").to_numpy())
+            b = np.searchsorted(self.keys, batch.column("vec_b").to_numpy())
+            cos = (self.mat[a] * self.mat[b]).sum(axis=1)
+            keep = cos >= threshold
+            return pa.table({
+                "vec_a": pa.array(batch.column("vec_a").to_numpy()[keep]),
+                "vec_b": pa.array(batch.column("vec_b").to_numpy()[keep]),
+            })
+
+    return distinct.map_batches(CosVerify, batch_format="pyarrow",
+                                zero_copy_batch=True, concurrency=(1, 4))
+
+
 def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
                       n_planes: int = 8, seed: int = 17,
                       id_col: str = "vec_id", vec_col: str = "embedding"):
