@@ -194,7 +194,16 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(sf_dir: str, reps: int = 2) -> dict:
+    """8 vs 32 CPUs, fresh processes, same input.
+
+    ``reps`` ALTERNATING runs per level, per-level minima reported: this
+    VM is time-shared and a co-tenant burst during either phase corrupts
+    a single-shot ratio in either direction (observed 32-CPU ann_cosine
+    spread: 7.0s-26.6s across same-code runs).  Alternation ensures both
+    levels sample the same contention regimes; the minimum is the
+    least-contended estimate of each level's true cost.
+    """
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, __file__], env=env,
@@ -202,8 +211,14 @@ def run_scaling(sf_dir: str) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    q_lo = {k: min(r["queries"][k] for r in runs_lo) for k in r_lo["queries"]}
+    q_hi = {k: min(r["queries"][k] for r in runs_hi) for k in r_hi["queries"]}
     tput_lo = 3 * N_DOCS / r_lo["value"]
     tput_hi = 3 * N_DOCS / r_hi["value"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -214,8 +229,11 @@ def run_scaling(sf_dir: str) -> dict:
         "docs_per_sec_8": round(tput_lo, 1),
         "docs_per_sec_32": round(tput_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        "queries_8": q_lo,
+        "queries_32": q_hi,
+        "reps_per_level": reps,
+        "all_headline_8": [r["value"] for r in runs_lo],
+        "all_headline_32": [r["value"] for r in runs_hi],
         "n_docs": N_DOCS,
     }
 

@@ -654,6 +654,88 @@ def _q_customer_orders(sf_dir: str):
     )
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over the largest table:
+    vectorized per-batch partials (combiner) -> small groupby Sum.
+    Money sums run in exact integer cents (floor(x*100 + 0.5), the
+    same IEEE sequence as the SQL) so the result is bitwise
+    order-independent — float SUM order varies across parallel plans."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    li = tables.read_table(sf_dir, "lineitem",
+                           columns=["l_returnflag", "l_linestatus",
+                                    "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = np.floor(batch.column("l_quantity").to_numpy() * 100.0 + 0.5
+                       ).astype(np.int64)
+        price = np.floor(batch.column("l_extendedprice").to_numpy() * 100.0 + 0.5
+                         ).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
+            "qty_c": qty, "price_c": price,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("qty_c", "size"), sum_qty_c=("qty_c", "sum"),
+            sum_price_c=("price_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n_items"),
+                   Sum("sum_qty_c", alias_name="sum_qty_c"),
+                   Sum("sum_price_c", alias_name="sum_price_c"))
+    )
+
+
+def _q_priority_revenue(sf_dir: str):
+    """orders |x| lineitem all-to-all relational join, combiner-first:
+    lineitem pre-aggregates revenue cents per order key (the shuffle
+    moves one row per order, not per lineitem), hash-joins the orders
+    dimension on o_orderkey, then rolls up by priority."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    li = tables.read_table(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = np.floor(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        key = batch.column("l_orderkey").to_numpy()
+        uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "rev_c": pa.array(sums),
+                         "n_li": pa.array(cnt.astype(np.int64))})
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_li", alias_name="n_li"))
+    )
+    orders = tables.read_table(sf_dir, "orders",
+                               columns=["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(orders, "inner", 16,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("n_li", alias_name="n_lineitems"),
+                   Sum("rev_c", alias_name="revenue_c"))
+    )
+
+
 def _q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact, broadcast full matrix).
 
@@ -821,6 +903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_sliding": _q_events_sliding,
         "customer_orders": _q_customer_orders,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "priority_revenue": _q_priority_revenue,
         "tile_index_stats": _q_tile_index_stats,
     }
 
@@ -1028,6 +1112,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_price_c
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_lineitems,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0e0 - l.l_discount) * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "events_sliding": """
             WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS k FROM events),

@@ -167,6 +167,12 @@ class GridKnn:
         small = ~large
         self.buckets = _Buckets(res, mnx[small], mxx[small], mny[small], mxy[small],
                                 rows[small])
+        # float32 shadow copy for the fast path's pre-score pass (halves
+        # the gather traffic on the bandwidth-bound scoring; results are
+        # always confirmed in float64)
+        self._g32 = None
+        if kind == "box" and self.ctx.uses_euclidean_bounds:
+            self._g32 = {k_: v.astype(np.float32) for k_, v in self.g.items()}
 
         # local sub-bucketing of HOT cells (point kind): members of
         # cells holding > HOT_CELL_MEMBERS points move to a 16x-finer
@@ -411,6 +417,25 @@ class GridKnn:
                 offs_d = np.concatenate(([0], np.cumsum(cnt)[:-1]))
                 local = np.arange(total, dtype=np.int64) - np.repeat(offs_d, cnt)
                 pos = self._df_members[np.repeat(starts, cnt) + local]
+                if self._g32 is not None and len(pos) > len(fast_rows):
+                    # float32 pre-score: drop candidates provably above
+                    # the ceiling using half-width gathers; the bound is
+                    # inflated by an ABSOLUTE coordinate-rounding margin
+                    # (f32 input rounding is ~2e-5 world units), so no
+                    # true top-k candidate is ever excluded — survivors
+                    # are re-scored exactly in float64 below
+                    g32 = self._g32
+                    z32 = np.float32(0.0)
+                    qx32 = qx.astype(np.float32)
+                    qy32 = qy.astype(np.float32)
+                    gx = np.maximum(np.maximum(g32["min_x"][pos] - qx32[q_row],
+                                               qx32[q_row] - g32["max_x"][pos]), z32)
+                    gy = np.maximum(np.maximum(g32["min_y"][pos] - qy32[q_row],
+                                               qy32[q_row] - g32["max_y"][pos]), z32)
+                    d32 = gx * gx + gy * gy
+                    u_infl = (np.sqrt(u_pt) + 1e-4) ** 2
+                    pre = d32 <= u_infl[q_row]
+                    q_row, pos = q_row[pre], pos[pre]
                 d2 = self._score(pos, qx[q_row], qy[q_row])
                 within = d2 <= u_pt[q_row]
                 q_row, pos, d2 = q_row[within], pos[within], d2[within]
