@@ -654,6 +654,71 @@ def _q_customer_orders(sf_dir: str):
     )
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Composite training-data cleaning pipeline: exact-dedup survivors
+    (hash -> Min keep_id -> hash join back) filtered by quality
+    (n_tokens >= 5, distinct-token ratio >= 0.3) and language
+    (stopword-vote == 'en').  The join key is the content hash — the
+    corpus-scale dedup shape — and the quality/lang features are
+    computed vectorized inside the filter stage."""
+    from ray.data.aggregate import Min
+
+    from .sources import tables
+    from .stages import dedup
+    from .stages.text import _LANG_PROFILES
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = dedup.content_hash(docs)
+    keep = (
+        dedup.content_hash(tables.read_table(sf_dir, "documents",
+                                             columns=["doc_id", "text"]))
+        .groupby("content_hash").aggregate(Min("doc_id", alias_name="keep_id"))
+    )
+    joined = hashed.join(keep.map_batches(
+        lambda t: t.select(["content_hash", "keep_id"]), batch_format="pyarrow"),
+        "inner", 8, on=("content_hash",))
+
+    class CleanFilter:
+        def __init__(self):
+            import re
+
+            self.word = re.compile(r"[^\W\d_]+")
+            self.profiles = {k: frozenset(v) for k, v in
+                             sorted(_LANG_PROFILES.items()) if v}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("doc_id"),
+                                      batch.column("keep_id")))
+            text = t.column("text")
+            toks = pc.split_pattern(text, " ")
+            n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+            n_distinct = np.asarray(
+                [len(set(x)) for x in toks.to_pylist()], dtype=np.int64)
+            langs = []
+            for s in text.to_pylist():
+                ws = [w.lower() for w in self.word.findall(s or "")]
+                best, best_n = "unknown", 0
+                for lang, prof in self.profiles.items():
+                    n = sum(1 for w in ws if w in prof)
+                    if n > best_n:
+                        best, best_n = lang, n
+                langs.append(best)
+            langs = np.asarray(langs)
+            ratio = n_distinct.astype(np.float64) / n_tokens.astype(np.float64)
+            ok = (n_tokens >= 5) & (ratio >= 0.3) & (langs == "en")
+            t = t.filter(pa.array(ok))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tokens[ok]),
+                "lang_pred": pa.array(langs[ok].tolist(), type=pa.string()),
+            })
+
+    return joined.map_batches(CleanFilter, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4))
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary over the largest table:
     vectorized per-batch partials (combiner) -> small groupby Sum.
@@ -887,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
+        "corpus_clean": _q_corpus_clean,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
@@ -958,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),
         "lang_id": oracles.lang_id_sql(_LANG_PROFILES),
+        "corpus_clean": oracles.corpus_clean_sql(_LANG_PROFILES),
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),

@@ -134,7 +134,8 @@ def pip_docs_sql(docs_cte: str, polygons: list[dict]) -> str:
 # lang_id — stopword-profile vote (mirrors text.LangIdActor)
 # ---------------------------------------------------------------------------
 
-def lang_id_sql(profiles: dict[str, set[str]]) -> str:
+def _lang_fragments(profiles: dict[str, set[str]]) -> tuple[str, str]:
+    """(count column exprs over a ``toks`` list column, lang CASE)."""
     langs = sorted(k for k, v in profiles.items() if v)
     counts = []
     for lang in langs:
@@ -149,13 +150,42 @@ def lang_id_sql(profiles: dict[str, set[str]]) -> str:
     for lang in langs:
         case += f"WHEN n_{lang} = {g} THEN '{lang}' "
     case += "END"
+    return ", ".join(counts), case
+
+
+def lang_id_sql(profiles: dict[str, set[str]]) -> str:
+    counts, case = _lang_fragments(profiles)
     return f"""
     WITH t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
       FROM documents
     ),
-    c AS (SELECT doc_id, {', '.join(counts)} FROM t)
+    c AS (SELECT doc_id, {counts} FROM t)
     SELECT doc_id, {case} AS lang_pred FROM c
+    """
+
+
+def corpus_clean_sql(profiles: dict[str, set[str]]) -> str:
+    """Mirrors the composite cleaning pipeline: exact-dedup survivors
+    (MIN doc_id per md5) with n_tokens >= 5, distinct-token ratio
+    >= 0.3 and stopword-vote language 'en'."""
+    counts, case = _lang_fragments(profiles)
+    return f"""
+    WITH k AS (SELECT md5(text) AS ch, MIN(doc_id) AS keep_id
+               FROM documents GROUP BY 1),
+    j AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN k ON md5(d.text) = k.ch AND d.doc_id = k.keep_id),
+    t AS (SELECT doc_id,
+                 CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                 regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM j),
+    c AS (SELECT doc_id, n_tokens, n_distinct, {counts} FROM t),
+    v AS (SELECT doc_id, n_tokens, n_distinct, {case} AS lang_pred FROM c)
+    SELECT doc_id, n_tokens, lang_pred FROM v
+    WHERE n_tokens >= 5
+      AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= {derive.F(0.3)}
+      AND lang_pred = 'en'
     """
 
 
