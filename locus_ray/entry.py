@@ -654,6 +654,23 @@ def _q_customer_orders(sf_dir: str):
     )
 
 
+def _q_sample_docs(sf_dir: str):
+    """Deterministic hash sampling (~10%): keep doc iff
+    (doc_id * 2654435761) % 1000003 < 100000.  Stateless vectorized
+    filter — the reproducible alternative to random_shuffle-based
+    sampling for corpus subsetting (any shard resamples identically)."""
+    from .sources import tables
+
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        keep = (d * 2654435761) % 1000003 < 100000
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: exact-dedup survivors
     (hash -> Min keep_id -> hash join back) filtered by quality
@@ -953,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
         "corpus_clean": _q_corpus_clean,
+        "sample_docs": _q_sample_docs,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
@@ -1025,6 +1043,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_docs": oracles.pip_docs_sql(docs, polys),
         "lang_id": oracles.lang_id_sql(_LANG_PROFILES),
         "corpus_clean": oracles.corpus_clean_sql(_LANG_PROFILES),
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 1000003 < 100000
+        """,
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),

@@ -30,8 +30,9 @@ def main(n_docs: int, ncpus: int) -> None:
     from locus_ray.stages import spatial
 
     corpus = ensure_corpus(n_docs)
-    zones_ref = ray.put(tables.zones_payload(
-        os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    zones_ref = ray.put(spatial.prebuilt_knn_index(
+        tables.zones_payload(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+        "box", 8))
     docs = rd.read_parquet(corpus, columns=["doc_key", "x", "y"])
     out = docs.map_batches(
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
