@@ -330,6 +330,14 @@ def _q_token_count(sf_dir: str):
                                               columns=["doc_id", "text"]))
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from .sources import tables
+    from .stages import text
+
+    return text.token_count_bpe(tables.read_table(sf_dir, "documents",
+                                                  columns=["doc_id", "text"]))
+
+
 def _q_text_stats(sf_dir: str):
     from .sources import tables
     from .stages import text
@@ -965,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_spans": _q_flagship_spans,
         # training-data ops
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "top_tokens": _q_top_tokens,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -1138,6 +1147,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, LENGTH(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "top_tokens": """
             SELECT t.token, COUNT(*) AS n_occurrences

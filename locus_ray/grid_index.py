@@ -272,8 +272,13 @@ class GridKnn:
         n = len(self.ids)
         _BOUND_SAMPLE = 2000  # subset kth >= full kth: sampling stays valid
         if n > _BOUND_SAMPLE:
-            step = n // _BOUND_SAMPLE
-            sel = np.arange(0, n, step)[:_BOUND_SAMPLE]
+            # seeded uniform sample — NOT a fixed stride, which can
+            # alias with periodic structure in the build side (e.g. a
+            # stride that is a multiple of the hot-cluster id period
+            # samples ONLY cluster members, making U_all world-sized)
+            sel = np.random.default_rng(0x5EED).choice(
+                n, _BOUND_SAMPLE, replace=False)
+            sel.sort()
         else:
             sel = np.arange(n)
         s_mnx, s_mxx = mnx[sel], mxx[sel]
@@ -403,11 +408,14 @@ class GridKnn:
             fhy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * f_axis),
                           0, f_axis - 1).astype(np.int64)
             u_pt = np.where(inworld, self._u_all[fhx * f_axis + fhy], np.inf)
-        if dense_filtered and self.kind == "box":
+        fast_mask = None
+        if have_bounds and dense_filtered and self.kind == "box":
+            fast_mask = inworld
+        if fast_mask is not None:
             # FAST PATH: the per-cell lists are complete top-k candidate
             # sets for in-world points (see _ensure_cell_bounds), so one
             # gather + score + merge resolves them — no ring expansion.
-            fast_rows = np.nonzero(inworld)[0]
+            fast_rows = np.nonzero(fast_mask)[0]
             if len(fast_rows):
                 home = fhx[fast_rows] * f_axis + fhy[fast_rows]
                 cnt = self._df_offsets[home + 1] - self._df_offsets[home]
@@ -452,7 +460,7 @@ class GridKnn:
                     best_id[rq[sel], rank[sel]] = ri[sel]
                     best_d[rq[sel], rank[sel]] = rd[sel]
                     n_found[rq[run_start]] = np.minimum(rcounts, k)
-            if inworld.all():
+            if fast_mask.all():
                 return best_id, best_d
 
         if len(self.large_pos) and not dense_filtered:
@@ -478,9 +486,9 @@ class GridKnn:
             n_found[:] = kd
 
         # 2) bucket side: ring expansion in geometric world-radius rounds
-        # (box kind: only the rare out-of-world remainder reaches here)
-        if dense_filtered and self.kind == "box":
-            active = np.nonzero(~inworld)[0].astype(np.int64)
+        # (fast-path kinds: only the out-of-world / hot-cell remainder)
+        if fast_mask is not None:
+            active = np.nonzero(~fast_mask)[0].astype(np.int64)
         else:
             active = np.arange(n, dtype=np.int64)
         axis = self.n_cells_axis

@@ -42,6 +42,29 @@ def token_count(ds, text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# simplified BPE-style pre-tokenizer (letter runs / digit runs /
+# punctuation runs), ASCII classes so Arrow's RE2 and DuckDB's RE2
+# evaluate identically
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def token_count_bpe(ds, text_col: str = "text", pattern: str = BPE_PATTERN):
+    """BPE-ish token counting (task-spec 'whitespace + a BPE-ish
+    regex'): counts pre-tokenizer matches with Arrow's vectorized RE2
+    kernel — the same regex engine DuckDB uses, so the oracle is
+    bit-identical by construction."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": n.cast(pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def text_stats(ds, text_col: str = "text"):
     """Quality-scoring features: length, token count, mean token length,
     distinct-token ratio (all deterministic, SQL-reproducible)."""
