@@ -139,12 +139,17 @@ class GridKnn:
         # rounds (each annulus grows quadratically); `res` only caps the
         # resolution, it does not force it.  Results are exact at any
         # resolution — this is purely a probe-cost knob.
-        res = min(res, max(2, int(round(np.log2(max(n, 2)) / 2)) + 1))
+        dens_res = max(2, int(round(np.log2(max(n, 2)) / 2)) + 1)
         if kind == "point":
-            # boxes/segments inflate bucket density via multi-cell
-            # covers; bare points don't — go one step coarser so cells
-            # average >= ~1 member and ring-1 probes usually suffice
-            res = max(2, res - 1)
+            # bare points don't inflate bucket density via multi-cell
+            # covers; for them the caller's res is IGNORED (it is a
+            # partitioning knob, not a probe-cost one) so dense point
+            # layers can bucket fine enough for ~1-2 members per cell —
+            # a cap at the partition res left ring-1 gathers 20x
+            # oversized for corpus-scale build sides
+            res = min(max(2, dens_res - 1), 12)
+        else:
+            res = min(res, dens_res)
         self.res = res
         self.n_cells_axis = 1 << res
         self.cell_w = WORLD_W / self.n_cells_axis
@@ -203,6 +208,13 @@ class GridKnn:
                     mxy[hot_mask], rows[hot_mask],
                 )
                 self.hot_members = rows[hot_mask]
+                hb = self.hot_buckets
+                hcx_all = hb.cells // hb.axis
+                hcy_all = hb.cells % hb.axis
+                # occupied hot-cell bbox: hot gathers clamp to it (the
+                # fine grid is world-sized but the cluster is tiny)
+                self._hot_bbox = (int(hcx_all.min()), int(hcx_all.max()),
+                                  int(hcy_all.min()), int(hcy_all.max()))
                 # per main-cell LINEAR distance to the nearest hot cell:
                 # an unseen hot member is at least this far from any
                 # point in the cell, so far-away points are never
@@ -501,13 +513,22 @@ class GridKnn:
         if hot is not None:
             hot_min_cell = min(WORLD_W / hot.axis, WORLD_H / hot.axis)
 
+        # per-row MAIN-level freeze: once a row's kth distance drops
+        # strictly below its swept main radius, further main-ring
+        # expansion cannot change its answer (kth only decreases, so
+        # the freeze is permanent); the row then waits on the hot level
+        # only.  main_r records the frozen radius for the bound.
+        main_frozen = np.zeros(n, dtype=bool)
+        main_r = np.zeros(n, dtype=np.int64)
+
         r_prev = -1
         r_new = min(first_ring, axis)
         while len(active):
+            adv_idx = np.nonzero(~main_frozen[active])[0]
             offs = _annulus_offsets(r_prev, r_new)
-            rows = np.repeat(np.arange(len(active), dtype=np.int64), len(offs))
-            ccx = (hcx[active][:, None] + offs[:, 0][None, :]).ravel()
-            ccy = (hcy[active][:, None] + offs[:, 1][None, :]).ravel()
+            rows = np.repeat(adv_idx, len(offs))
+            ccx = (hcx[active[adv_idx]][:, None] + offs[:, 0][None, :]).ravel()
+            ccy = (hcy[active[adv_idx]][:, None] + offs[:, 1][None, :]).ravel()
             valid = (ccx >= 0) & (ccx < axis) & (ccy >= 0) & (ccy < axis)
             rows = rows[valid]
             cell_ids = ccx[valid] * axis + ccy[valid]
@@ -518,30 +539,40 @@ class GridKnn:
                 # the hot level advances at its own geometric pace; the
                 # retirement bound below takes the min of both levels'
                 # covered radii, so lagging here only delays retirement,
-                # never breaks it
+                # never breaks it.  Gathers are restricted to NEEDY rows
+                # (kth >= distance-to-hot-region, or top-k not yet full):
+                # once a row's kth drops strictly below hot_dist, no
+                # unseen hot member can ever enter its top-k, and since
+                # kth only decreases that exclusion is permanent.  Cell
+                # enumeration clamps to the occupied hot-cell bbox — the
+                # fine grid is world-sized but the cluster is tiny, so
+                # unclamped rings over far rows were the straggler cost.
                 hr_new = min(2 * hot_r_prev + 1 if hot_r_prev >= 0 else 1, hot.axis)
+                hd = self._hot_dist[hcx[active] * axis + hcy[active]]
+                needy = (n_found[active] < kk) | (best_d[active][:, kk - 1] >= hd * hd)
+                ridx = np.nonzero(needy)[0]
                 if hr_new > HOT_RING_CAP or r_new >= axis:
-                    # bounded dump: remaining (straggler) points take all
-                    # hot members; the fine level is then fully seen
+                    # bounded dump, needy rows only
                     m = len(self.hot_members)
-                    drws = np.repeat(np.arange(len(active), dtype=np.int64), m)
-                    dps = np.tile(self.hot_members, len(active))
+                    drws = np.repeat(ridx, m)
+                    dps = np.tile(self.hot_members, len(ridx))
                     q_row = np.concatenate((q_row, drws))
                     pos = np.concatenate((pos, dps))
                     hot_dumped = True
                 elif hr_new > hot_r_prev:
-                    hx = np.clip(np.floor((qx[active] - WORLD_MIN_X) / WORLD_W * hot.axis),
-                                 0, hot.axis - 1).astype(np.int64)
-                    hy = np.clip(np.floor((qy[active] - WORLD_MIN_Y) / WORLD_H * hot.axis),
-                                 0, hot.axis - 1).astype(np.int64)
-                    hoffs = _annulus_offsets(hot_r_prev, hr_new)
-                    hrows = np.repeat(np.arange(len(active), dtype=np.int64), len(hoffs))
-                    hcx2 = (hx[:, None] + hoffs[:, 0][None, :]).ravel()
-                    hcy2 = (hy[:, None] + hoffs[:, 1][None, :]).ravel()
-                    hval = (hcx2 >= 0) & (hcx2 < hot.axis) & (hcy2 >= 0) & (hcy2 < hot.axis)
-                    hsrc, hpos = hot.lookup(hcx2[hval] * hot.axis + hcy2[hval])
-                    q_row = np.concatenate((q_row, hrows[hval][hsrc]))
-                    pos = np.concatenate((pos, hpos))
+                    if len(ridx):
+                        ar = active[ridx]
+                        hx = np.clip(np.floor((qx[ar] - WORLD_MIN_X) / WORLD_W * hot.axis),
+                                     0, hot.axis - 1).astype(np.int64)
+                        hy = np.clip(np.floor((qy[ar] - WORLD_MIN_Y) / WORLD_H * hot.axis),
+                                     0, hot.axis - 1).astype(np.int64)
+                        hrows, hcells = _rect_band_cells(
+                            hx, hx, hy, hy, hot_r_prev, hr_new, hot.axis,
+                            clamp=self._hot_bbox,
+                        )
+                        hsrc, hpos = hot.lookup(hcells)
+                        q_row = np.concatenate((q_row, ridx[hrows[hsrc]]))
+                        pos = np.concatenate((pos, hpos))
                     hot_r_prev = hr_new
 
             if dense_filtered and r_prev == -1:
@@ -612,8 +643,8 @@ class GridKnn:
                 n_found[active] = np.bincount(kr, minlength=len(active))
 
             if r_new >= axis:
-                break  # bucket grid fully swept
-            cov_main = r_new * min_cell
+                break  # bucket grid fully swept (and hot dumped above)
+            cov_main = np.where(main_frozen[active], main_r[active], r_new) * min_cell
             if not hot_dumped:
                 # unseen hot members are beyond BOTH the hot level's
                 # covered radius and the point's distance to the
@@ -632,7 +663,13 @@ class GridKnn:
             # id than the current kth candidate, so a closed comparison
             # would violate the smallest-id tie-break; mirror the U_all
             # filter, which deliberately keeps boundary ties instead
-            done = (n_found[active] >= kk) & (best_d[active][:, kk - 1] < bound)
+            kth = best_d[active][:, kk - 1]
+            full = n_found[active] >= kk
+            done = full & (kth < bound)
+            main_bound = self.ctx.grid_bound((r_new * min_cell) ** 2)
+            newfreeze = (~done) & (~main_frozen[active]) & full & (kth < main_bound)
+            main_frozen[active[newfreeze]] = True
+            main_r[active[newfreeze]] = r_new
             active = active[~done]
             r_prev = r_new
             r_new = min(2 * r_new + 1, axis)
@@ -828,19 +865,32 @@ def _enum_rects(xlo, xhi, ylo, yhi, axis: int) -> tuple[np.ndarray, np.ndarray]:
     return rows, cx * axis + cy
 
 
-def _rect_band_cells(cx0, cx1, cy0, cy1, r_lo: int, r_hi: int, axis: int
+def _rect_band_cells(cx0, cx1, cy0, cy1, r_lo: int, r_hi: int, axis: int,
+                     clamp: tuple[int, int, int, int] | None = None
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Cells of each row's rectangle padded by ``r_hi`` rings MINUS the
     same rectangle padded by ``r_lo`` (``r_lo < 0`` -> the full padded
     rectangle).  Disjoint 4-strip decomposition (top/bottom bands full
-    width, left/right bands between them)."""
+    width, left/right bands between them).  ``clamp`` intersects every
+    strip with a fixed cell box (strip-wise clamping of the disjoint
+    decomposition equals (outer minus inner) ∩ box exactly)."""
+
+    def enum(xlo, xhi, ylo, yhi):
+        if clamp is not None:
+            bx0, bx1, by0, by1 = clamp
+            xlo = np.maximum(xlo, bx0)
+            xhi = np.minimum(xhi, bx1)
+            ylo = np.maximum(ylo, by0)
+            yhi = np.minimum(yhi, by1)
+        return _enum_rects(xlo, xhi, ylo, yhi, axis)
+
     if r_lo < 0:
-        return _enum_rects(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy1 + r_hi, axis)
+        return enum(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy1 + r_hi)
     parts = [
-        _enum_rects(cx0 - r_hi, cx1 + r_hi, cy1 + r_lo + 1, cy1 + r_hi, axis),
-        _enum_rects(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy0 - r_lo - 1, axis),
-        _enum_rects(cx0 - r_hi, cx0 - r_lo - 1, cy0 - r_lo, cy1 + r_lo, axis),
-        _enum_rects(cx1 + r_lo + 1, cx1 + r_hi, cy0 - r_lo, cy1 + r_lo, axis),
+        enum(cx0 - r_hi, cx1 + r_hi, cy1 + r_lo + 1, cy1 + r_hi),
+        enum(cx0 - r_hi, cx1 + r_hi, cy0 - r_hi, cy0 - r_lo - 1),
+        enum(cx0 - r_hi, cx0 - r_lo - 1, cy0 - r_lo, cy1 + r_lo),
+        enum(cx1 + r_lo + 1, cx1 + r_hi, cy0 - r_lo, cy1 + r_lo),
     ]
     return (np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]))
