@@ -155,6 +155,29 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         concurrency=pool, batch_size=8192,
     ).count())
 
+    # q6b: doc->doc kNN self-join slice (point build side with the 20%
+    # hot cluster — exercises the hot sub-bucket + freeze machinery)
+    self_docs = min(N_DOCS, 1_000_000)
+    self_payload_keys = None
+
+    def docs_self():
+        import numpy as np
+
+        from locus_ray import derive
+
+        keys = np.arange(self_docs, dtype=np.int64)
+        xx, yy = derive.doc_xy(keys)
+        ref_local = ray.put({"ids": keys, "x": xx, "y": yy})
+        return docs().limit(self_docs).map_batches(
+            spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+            fn_constructor_kwargs={"build_ref": ref_local, "kind": "point",
+                                   "res": 8, "k": 3, "id_out": "neighbor_id",
+                                   "carry": ("doc_key",)},
+            concurrency=pool, batch_size=4096,
+        )
+
+    timed("knn_docs_self_1m", lambda: docs_self().count())
+
     # q7: compute-dense ANN probe (matmul-bound): demonstrates the
     # engine's scaling when the kernel is not memory-bandwidth-bound
     # (see BASELINE.md "hardware ceiling" note)

@@ -215,22 +215,14 @@ class GridKnn:
                 # fine grid is world-sized but the cluster is tiny)
                 self._hot_bbox = (int(hcx_all.min()), int(hcx_all.max()),
                                   int(hcy_all.min()), int(hcy_all.max()))
-                # per main-cell LINEAR distance to the nearest hot cell:
-                # an unseen hot member is at least this far from any
-                # point in the cell, so far-away points are never
-                # hot-coverage-limited in the retirement bound
-                axis2 = self.n_cells_axis
-                cells_all = np.arange(axis2 * axis2, dtype=np.int64)
-                c_mnx = WORLD_MIN_X + (cells_all // axis2) * self.cell_w
-                c_mny = WORLD_MIN_Y + (cells_all % axis2) * self.cell_h
-                h_mnx = WORLD_MIN_X + (hot_cells // axis2) * self.cell_w
-                h_mny = WORLD_MIN_Y + (hot_cells % axis2) * self.cell_h
-                gx = np.maximum(np.maximum(h_mnx[None, :] - (c_mnx[:, None] + self.cell_w),
-                                           c_mnx[:, None] - (h_mnx[None, :] + self.cell_w)), 0.0)
-                gy = np.maximum(np.maximum(h_mny[None, :] - (c_mny[:, None] + self.cell_h),
-                                           c_mny[:, None] - (h_mny[None, :] + self.cell_h)), 0.0)
-                self._hot_dist = np.sqrt((gx * gx + gy * gy).min(axis=1))
-
+                # world bbox of hot members: gap distance to it lower-
+                # bounds distance to ANY hot member — O(1) per query row
+                # (the old per-main-cell nearest-hot-cell table was an
+                # axis^2 x hot_cells dense build, quadratic at fine res)
+                self._hot_world = (
+                    float(mnx[hot_mask].min()), float(mxx[hot_mask].max()),
+                    float(mny[hot_mask].min()), float(mxy[hot_mask].max()),
+                )
     @property
     def size(self) -> int:
         return len(self.ids)
@@ -512,6 +504,9 @@ class GridKnn:
         hot_dumped = hot is None
         if hot is not None:
             hot_min_cell = min(WORLD_W / hot.axis, WORLD_H / hot.axis)
+            hw = self._hot_world
+            hd_all = np.sqrt(box_point_squared_distance(
+                hw[0], hw[1], hw[2], hw[3], qx, qy))
 
         # per-row MAIN-level freeze: once a row's kth distance drops
         # strictly below its swept main radius, further main-ring
@@ -548,7 +543,7 @@ class GridKnn:
                 # fine grid is world-sized but the cluster is tiny, so
                 # unclamped rings over far rows were the straggler cost.
                 hr_new = min(2 * hot_r_prev + 1 if hot_r_prev >= 0 else 1, hot.axis)
-                hd = self._hot_dist[hcx[active] * axis + hcy[active]]
+                hd = hd_all[active]
                 needy = (n_found[active] < kk) | (best_d[active][:, kk - 1] >= hd * hd)
                 ridx = np.nonzero(needy)[0]
                 if hr_new > HOT_RING_CAP or r_new >= axis:
@@ -651,9 +646,7 @@ class GridKnn:
                 # nearest hot region — take whichever is larger, then
                 # the min with the main guarantee
                 hot_guar = np.maximum(
-                    max(hot_r_prev, 0) * hot_min_cell,
-                    self._hot_dist[hcx[active] * axis + hcy[active]],
-                )
+                    max(hot_r_prev, 0) * hot_min_cell, hd_all[active])
                 cov = np.minimum(cov_main, hot_guar)
             else:
                 cov = cov_main
