@@ -103,15 +103,32 @@ class KdTree:
 class RTree:
     """Parity: locus/r.py:21-60 (packed Hilbert bulk load) + queries."""
 
-    def __init__(self, boxes: Sequence[Box], max_children: int = 16):
+    def __init__(self, boxes: Sequence[Box], max_children: int = 16,
+                 context=None):
+        from .context import get_context
+
         if not boxes:
             raise ValueError("R-tree requires at least one box")
         self.boxes = list(boxes)
+        self._ctx = get_context(context)
         arr = np.asarray(boxes, dtype=np.float64)
         self._tree = PackedRTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
                                  max_children=max_children)
+        self._grid = None
+        if self._ctx.name != "default":
+            from .grid_index import GridKnn
+
+            self._grid = GridKnn(
+                "box",
+                {"min_x": arr[:, 0], "max_x": arr[:, 1],
+                 "min_y": arr[:, 2], "max_y": arr[:, 3]},
+                np.arange(len(arr), dtype=np.int64), 8, context=self._ctx)
 
     def nearest_item(self, point: Point) -> tuple[int, Box]:
+        if self._grid is not None:
+            ids, _ = self._grid.query(np.asarray([point[0]]),
+                                      np.asarray([point[1]]), 1)
+            return int(ids[0, 0]), self.boxes[int(ids[0, 0])]
         i, _ = self._tree.nearest(point[0], point[1])
         return i, self.boxes[i]
 
@@ -122,6 +139,10 @@ class RTree:
         return self.nearest_item(point)[1]
 
     def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Box]]:
+        if self._grid is not None:
+            ids, _ = self._grid.query(np.asarray([point[0]]),
+                                      np.asarray([point[1]]), n)
+            return [(int(i), self.boxes[int(i)]) for i in ids[0] if i >= 0]
         return [(i, self.boxes[i]) for i, _ in self._tree.n_nearest(n, point[0], point[1])]
 
     def n_nearest_indices(self, n: int, point: Point) -> list[int]:
@@ -153,14 +174,26 @@ class RTree:
 class SegmentalTree:
     """Parity: locus/segmental.py:18-77 + the four query families."""
 
-    def __init__(self, segments: Sequence[Segment], max_children: int = 16):
+    def __init__(self, segments: Sequence[Segment], max_children: int = 16,
+                 context=None):
+        from .context import get_context
+
         if not segments:
             raise ValueError("segmental tree requires at least one segment")
         self.segments = list(segments)
+        self._ctx = get_context(context)
         arr = np.asarray([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segments],
                          dtype=np.float64)
         self._tree = SegmentTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
                                  max_children=max_children)
+        self._grid = None
+        if self._ctx.name != "default":
+            from .grid_index import SegSegGridKnn
+
+            self._grid = SegSegGridKnn(
+                {"start_x": arr[:, 0], "start_y": arr[:, 1],
+                 "end_x": arr[:, 2], "end_y": arr[:, 3]},
+                np.arange(len(arr), dtype=np.int64), 8, context=self._ctx)
 
     def nearest_item(self, segment: Segment) -> tuple[int, Segment]:
         i, _ = self._tree.nearest_to_segment(
@@ -175,6 +208,11 @@ class SegmentalTree:
         return self.nearest_item(segment)[1]
 
     def n_nearest_items(self, n: int, segment: Segment) -> list[tuple[int, Segment]]:
+        if self._grid is not None:
+            ids, _ = self._grid.query(
+                np.asarray([segment[0][0]]), np.asarray([segment[0][1]]),
+                np.asarray([segment[1][0]]), np.asarray([segment[1][1]]), n)
+            return [(int(i), self.segments[int(i)]) for i in ids[0] if i >= 0]
         return [
             (i, self.segments[i])
             for i, _ in self._tree.n_nearest_to_segment(

@@ -89,3 +89,14 @@ def test_kdtree_exact_context_smoke():
 
     t = KdTree([(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)], context="exact")
     assert t.nearest_index((0.9, 0.9)) == 1
+
+
+def test_rtree_and_segtree_exact_context_smoke():
+    from locus_ray.compat import RTree, SegmentalTree
+
+    rt = RTree([(0.0, 2.0, 0.0, 2.0), (5.0, 7.0, 5.0, 7.0)], context="exact")
+    assert rt.nearest_index((6.0, 6.0)) == 1
+    assert rt.n_nearest_indices(2, (0.0, 0.0)) == [0, 1]
+    st = SegmentalTree([((0.0, 0.0), (1.0, 0.0)), ((5.0, 5.0), (6.0, 5.0))],
+                       context="exact")
+    assert st.n_nearest_indices(1, ((5.2, 5.1), (5.8, 5.1))) == [1]
