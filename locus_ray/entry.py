@@ -410,6 +410,14 @@ def _q_fingerprint(sf_dir: str):
                                               columns=["doc_id", "text"]))
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from .sources import tables
+    from .stages import dedup
+
+    return dedup.simhash_dup_pairs(tables.read_table(sf_dir, "documents",
+                                                     columns=["doc_id", "text"]))
+
+
 def _q_minhash_pairs(sf_dir: str):
     from .sources import tables
     from .stages import dedup
@@ -872,6 +880,24 @@ def _q_embed_dup_pairs(sf_dir: str):
         DupPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (see ann.ivf_topk); trains on the full
+    (small) embedding table driver-side, probes 2 of 16 lists."""
+    from .sources import tables
+    from .stages import ann
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vec_id = t.column("vec_id").to_numpy().astype(np.int64)
+    flat = t.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    train = {"ids": vec_id, "matrix": flat.reshape(len(vec_id), -1)}
+    return ann.ivf_topk(
+        tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        _ann_queries(sf_dir), train, k=workload.ANN_K,
+    )
+
+
 def _q_embed_dup_pairs_lsh(sf_dir: str):
     """Scale path for embedding dedup: corpus-vs-corpus LSH star pairs
     + exact cosine verify (see ann.lsh_dup_pairs)."""
@@ -981,10 +1007,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "sample_docs": _q_sample_docs,
         "simhash_docs": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "embed_dup_pairs_lsh": _q_embed_dup_pairs_lsh,
         "media_features": _q_media_features,
@@ -1065,10 +1093,12 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": oracles.media_resize_sql(n_docs=500),
         "media_frames": oracles.media_frames_sql(n_docs=500),
         "simhash_docs": oracles.simhash_sql(),
+        "simhash_pairs": oracles.simhash_dup_pairs_sql(max_hamming=3),
         "fingerprint_docs": oracles.fingerprint_sql(window=8),
         "minhash_pairs": oracles.minhash_pairs_sql(_dedup_mod()._MH_A,
                                                    _dedup_mod()._MH_B),
         "ann_lsh": oracles.ann_lsh_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
+        "ann_ivf": oracles.ann_ivf_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
         "find_box_docs": f"""
             WITH d AS ({docs})
             SELECT qb.query_id, d.doc_id FROM d CROSS JOIN {qb}

@@ -302,6 +302,45 @@ def fingerprint_sql(window: int = 8) -> str:
     """
 
 
+def simhash_dup_pairs_sql(max_hamming: int = 3) -> str:
+    """Mirrors dedup.simhash_dup_pairs: 4 x 16-bit block buckets over
+    the simhash (recomputed via simhash_sql's pipeline), MIN-doc star
+    linking, distinct pairs, exact xor-popcount Hamming verify."""
+    bits, pows = _powers_of_two_lists()
+    base = f"""
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (SELECT doc_id, {fnv_sql('tok')} AS h FROM t),
+    bits AS (SELECT unnest([{bits}]) AS b, unnest([{pows}]) AS p2),
+    v AS (SELECT doc_id, b, p2,
+          SUM(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th CROSS JOIN bits GROUP BY doc_id, b, p2),
+    s AS (SELECT doc_id,
+          SUM(CASE WHEN vote > 0 THEN p2 ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM v GROUP BY doc_id),
+    sig AS (SELECT doc_id, u, {_u64_to_i64('u')} AS sh FROM s),
+    e AS (SELECT doc_id, sh,
+                 unnest([0, 1, 2, 3]) AS block_id,
+                 CAST((u // unnest([CAST(1 AS HUGEINT), CAST({1 << 16} AS HUGEINT),
+                                    CAST({1 << 32} AS HUGEINT), CAST({1 << 48} AS HUGEINT)]))
+                      % 65536 AS BIGINT) AS block_val
+          FROM sig)"""
+    return f"""
+    WITH {base},
+    reps AS (SELECT block_id, block_val, MIN(doc_id) AS doc_a
+             FROM e GROUP BY block_id, block_val),
+    pairs AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+              FROM e m JOIN reps r
+                ON m.block_id = r.block_id AND m.block_val = r.block_val
+              WHERE m.doc_id > r.doc_a),
+    h AS (SELECT p.doc_a, p.doc_b,
+          CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= {max_hamming}
+    """
+
+
 def minhash_pairs_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.5) -> str:
@@ -373,6 +412,73 @@ def embed_dup_pairs_sql(threshold: float) -> str:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= {derive.F(threshold)}
     """
+
+
+def ann_ivf_sql(query_ids: list[int], k: int, dim: int = 64,
+                n_list: int = 16, n_probe: int = 2, iters: int = 3) -> str:
+    """Replicates ann.ivf_topk bit-for-bit: integer quantization
+    (floor(e*2^20 + 0.5) + 2^21), init centroids = the n_list smallest
+    vec_ids' vectors, ``iters`` Lloyd rounds in exact int arithmetic
+    (truncating integer mean, which equals numpy's floor-div on these
+    all-positive values), n_probe list probe, cosine top-k over
+    members."""
+    scale = 1 << 20
+    off = 1 << 21
+
+    def d2(e: str, c: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+                f"i -> ({e}[CAST(i AS INT)] - {c}[CAST(i AS INT)])"
+                f" * ({e}[CAST(i AS INT)] - {c}[CAST(i AS INT)])), "
+                f"(x, y) -> x + y)")
+
+    quant = (f"list_transform(embedding, v -> "
+             f"CAST(floor(CAST(v AS DOUBLE) * {float(scale)}e0 + 0.5e0) AS BIGINT)"
+             f" + {off})")
+    parts = [f"""
+    eint AS (SELECT vec_id, {quant} AS ei FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS i),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ei AS cv
+           FROM eint ORDER BY vec_id LIMIT {n_list})"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    a{t} AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2('e.ei', 'c.cv')}, c.cid) AS rn
+        FROM eint e CROSS JOIN {prev} c) WHERE rn = 1),
+    s{t} AS (SELECT a.cid, dims.i,
+                    CAST(SUM(e.ei[dims.i]) // COUNT(*) AS BIGINT) AS sv
+             FROM a{t} a JOIN eint e USING (vec_id) CROSS JOIN dims
+             GROUP BY a.cid, dims.i),
+    m{t} AS (SELECT cid, list(sv ORDER BY i) AS cv FROM s{t} GROUP BY cid),
+    c{t} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+             FROM {prev} p LEFT JOIN m{t} m USING (cid))""")
+        prev = f"c{t}"
+    ids = ", ".join(map(str, query_ids))
+    parts.append(f"""
+    afin AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2('e.ei', 'c.cv')}, c.cid) AS rn
+        FROM eint e CROSS JOIN {prev} c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, {quant} AS qi
+          FROM embeddings WHERE vec_id IN ({ids})),
+    pr AS (SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d2('q.qi', 'c.cv')}, c.cid) AS rn
+        FROM q CROSS JOIN {prev} c) WHERE rn <= {n_probe}),
+    cand AS (SELECT pr.query_id, a.vec_id,
+                    list_cosine_similarity(e.embedding, q.qe) AS cs
+             FROM afin a JOIN pr ON a.cid = pr.cid
+             JOIN q ON q.query_id = pr.query_id
+             JOIN embeddings e ON e.vec_id = a.vec_id),
+    r AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rnk
+          FROM cand)""")
+    return ("WITH " + ",".join(parts)
+            + f"\n    SELECT query_id, vec_id, rnk FROM r WHERE rnk <= {k}")
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,105 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+IVF_SCALE = 1 << 20
+IVF_OFFSET = 1 << 21  # |e| < 2 -> scaled values positive (exact int k-means)
+
+
+def train_ivf_centroids(train_matrix: dict[str, np.ndarray], n_list: int,
+                        iters: int) -> np.ndarray:
+    """Deterministic INTEGER k-means coarse quantizer.
+
+    Embeddings quantize to ``floor(e*2^20 + 0.5) + 2^21`` (positive
+    int64), init centroids are the vectors of the ``n_list`` smallest
+    ids, assignment is exact integer argmin (ties -> smallest centroid
+    id), and the centroid update is the truncating integer mean — every
+    step is exact integer arithmetic, so the SQL oracle replicates the
+    training bit-for-bit (float k-means means would diverge in summation
+    order).  Train on the full small corpus at gate scale; on a
+    driver-side deterministic sample at corpus scale."""
+    ids_t = np.asarray(train_matrix["ids"], dtype=np.int64)
+    m = np.asarray(train_matrix["matrix"], dtype=np.float64)
+    eint = (np.floor(m * IVF_SCALE + 0.5).astype(np.int64) + IVF_OFFSET)
+    order = np.argsort(ids_t, kind="stable")
+    cent = eint[order[:n_list]].copy()
+    for _ in range(iters):
+        d = ((eint[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)  # first minimum = smallest centroid id
+        newc = cent.copy()
+        for c in range(len(cent)):
+            mask = a == c
+            if mask.any():
+                newc[c] = eint[mask].sum(axis=0) // int(mask.sum())
+        cent = newc
+    return cent
+
+
+def ivf_topk(ds, queries: dict[str, np.ndarray],
+             train_matrix: dict[str, np.ndarray], k: int,
+             n_list: int = 16, n_probe: int = 2, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=(1, 4), batch_size: int = 8192):
+    """IVF (inverted-file) ANN — the k-means-bucketed scale path next to
+    the hyperplane-LSH one: corpus rows assign to their nearest coarse
+    centroid inside ``map_batches`` (no shuffle; the 'inverted list' is
+    implicit in the per-batch mask), each query probes its ``n_probe``
+    nearest lists, and only member rows are cosine-scored."""
+    cent = train_ivf_centroids(train_matrix, n_list, iters)
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    qint = np.floor(qm * IVF_SCALE + 0.5).astype(np.int64) + IVF_OFFSET
+    qd = ((qint[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    payload = {"query_id": np.asarray(queries["query_id"], dtype=np.int64),
+               "matrix": qm, "cent": cent, "probes": probes}
+    ref = ray.put(payload)
+
+    class IvfScore:
+        def __init__(self):
+            p = ray.get(ref)
+            self.qid = p["query_id"]
+            self.qm = p["matrix"] / np.linalg.norm(p["matrix"], axis=1,
+                                                   keepdims=True)
+            self.cent = p["cent"]
+            self.probes = p["probes"]
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _as_matrix(batch.column(vec_col))
+            eint = np.floor(m * IVF_SCALE + 0.5).astype(np.int64) + IVF_OFFSET
+            d = ((eint[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            member = (assign[:, None, None] == self.probes[None, :, :]).any(axis=2)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ self.qm.T
+            sims = np.where(member, sims, -2.0)
+            ids = batch.column(id_col).to_numpy()
+            kk = min(self.k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            top_s = np.take_along_axis(sims, part, axis=0)
+            qcol = np.repeat(self.qid, kk)
+            icol = ids[part.T.ravel()]
+            scol = top_s.T.ravel()
+            keep = scol > -1.5  # drop non-member padding
+            return pa.table({
+                "query_id": pa.array(qcol[keep]),
+                id_col: pa.array(icol[keep]),
+                "cosine": pa.array(scol[keep]),
+            })
+
+    partials = ds.map_batches(IvfScore, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=concurrency,
+                              batch_size=batch_size)
+
+    def merge(group):
+        g = group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", id_col, "rnk"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def lsh_dup_pairs(ds, matrix_payload: dict[str, np.ndarray],
                   threshold: float = 0.4, n_tables: int = 4,
                   n_planes: int = 8, seed: int = 29,

@@ -274,6 +274,81 @@ def simhash(ds, text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64/int64 array."""
+    return _POPCNT8[v.astype(np.uint64).view(np.uint8).reshape(len(v), 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(ds, text_col: str = "text", max_hamming: int = 3,
+                      num_partitions: int = 16):
+    """Near-dup pairs via SimHash block blocking: a pair at Hamming
+    distance <= ``max_hamming`` agrees on at least one of
+    ``max_hamming + 1`` disjoint 16-bit blocks (pigeonhole), so pairs
+    are blocked on (block_id, block_value) and STAR-LINKED to the
+    bucket's MIN-doc representative — the same aggregate-only,
+    O(bucket) shape as :func:`minhash_lsh_pairs`.  The simhash rides
+    the shuffle as one scalar column, so the exact Hamming verify is a
+    plain vectorized xor+popcount with no payload re-attach.
+
+    Emits (doc_a < doc_b, hamming <= max_hamming).
+    """
+    from ray.data.aggregate import Min
+
+    assert max_hamming <= 3, "4 x 16-bit blocks pigeonhole covers <= 3"
+    sigs = simhash(ds, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy().astype(np.uint64)
+        doc = batch.column("doc_id").to_numpy()
+        out = {"doc_id": [], "block_id": [], "block_val": [], "simhash": []}
+        for b in range(4):
+            out["doc_id"].append(doc)
+            out["block_id"].append(np.full(len(doc), b, dtype=np.int64))
+            out["block_val"].append(
+                ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            out["simhash"].append(sh.astype(np.int64))
+        return pa.table({k_: pa.array(np.concatenate(v)) for k_, v in out.items()})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    reps = exploded.groupby(["block_id", "block_val"]).aggregate(
+        Min("doc_id", alias_name="doc_a"))
+    joined = exploded.join(reps, "inner", num_partitions,
+                           on=("block_id", "block_val"))
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch.column("doc_id"), batch.column("doc_a")))
+        return pa.table({"doc_a": t.column("doc_a"), "doc_b": t.column("doc_id"),
+                         "sh_b": t.column("simhash")})
+
+    pairs = (
+        joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"]).aggregate(Min("sh_b", alias_name="sh_b"))
+    )
+    # attach the representative's hash by joining the sigs table on doc_a
+    sig_a = sigs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow")
+    pairs = pairs.join(sig_a, "inner", num_partitions, on=("doc_a",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("sh_a").to_numpy().astype(np.uint64)
+        b = batch.column("sh_b").to_numpy().astype(np.uint64)
+        ham = _popcount64(a ^ b)
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(batch.column("doc_a").to_numpy()[keep]),
+            "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text", k: int = 3,
                         id_col: str = "doc_id"):
     """Exact n-gram Jaccard for verified pair reporting.
