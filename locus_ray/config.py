@@ -29,3 +29,16 @@ DEFAULT_CELL_RES = 8
 
 # Packed R-tree fan-out; reference default is 16 (locus/r.py:37).
 DEFAULT_MAX_CHILDREN = 16
+
+
+def actor_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for the gate/library pipelines.
+
+    Defaults to (1, 4) — sized for the sf0.01 oracle runs, where larger
+    fixed pools starve the fused read stage.  On a real cluster set
+    ``LOCUS_RAY_POOL_MAX`` (e.g. to cores-2 per node); bench.py sizes
+    its own pools explicitly.
+    """
+    import os
+
+    return (1, int(os.environ.get("LOCUS_RAY_POOL_MAX", "4")))

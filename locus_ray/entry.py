@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import derive, workload
-from .config import DEFAULT_CELL_RES, SQUARE_SIZE, WORLD_MIN_X, WORLD_MIN_Y
+from .config import DEFAULT_CELL_RES, SQUARE_SIZE, WORLD_MIN_X, WORLD_MIN_Y, actor_pool
 
 RES = DEFAULT_CELL_RES  # 8 -> 256x256 cells; shift = 16 - 8
 _SHIFT_DIV = 1 << (16 - RES)
@@ -160,7 +160,7 @@ def _q_zone_contains_doc(sf_dir: str):
     return tables.docs_geo(sf_dir).map_batches(
         spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"zones_ref": ref, "res": RES},
-        concurrency=(1, 4), batch_size=4096,
+        concurrency=actor_pool(), batch_size=4096,
     )
 
 
@@ -207,7 +207,7 @@ def _knn(sf_dir: str, kind: str, payload_fn, k: int, id_out: str,
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": ref, "kind": kind, "res": RES, "k": k,
                                "id_out": id_out},
-        concurrency=(1, 4), batch_size=4096,
+        concurrency=actor_pool(), batch_size=4096,
     )
     if not with_rank:
         out = out.drop_columns(["rnk"])
@@ -318,7 +318,7 @@ def _q_pip_docs(sf_dir: str):
     return tables.docs_geo(sf_dir).map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": ref, "res": RES},
-        concurrency=(1, 2), batch_size=4096,
+        concurrency=actor_pool(), batch_size=4096,
     )
 
 
@@ -352,7 +352,7 @@ def _q_lang_id(sf_dir: str):
 
     return tables.read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         text.LangIdActor, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 2), batch_size=1024,
+        concurrency=actor_pool(), batch_size=1024,
     )
 
 
@@ -495,7 +495,7 @@ def _q_seg_seg_knn(sf_dir: str):
     return tables.segments_ds(sf_dir).map_batches(
         spatial.SegSegKnnActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"segs_ref": ref, "k": 2},
-        concurrency=(1, 4), batch_size=512,
+        concurrency=actor_pool(), batch_size=512,
     ).select_columns(["segment_id", "neighbor_id", "rnk", "d2"])
 
 
@@ -511,7 +511,7 @@ def _q_knn_docs_self(sf_dir: str):
         spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": ref, "kind": "point", "res": RES,
                                "k": 3, "id_out": "neighbor_id"},
-        concurrency=(1, 4), batch_size=4096,
+        concurrency=actor_pool(), batch_size=4096,
     )
 
 
@@ -665,7 +665,7 @@ def _q_customer_orders(sf_dir: str):
     orders = tables.read_table(sf_dir, "orders", columns=["o_custkey"])
     return (
         orders.map_batches(SegmentJoin, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=(1, 2))
+                           concurrency=actor_pool())
         .groupby("c_mktsegment").aggregate(Sum("n", alias_name="n_orders"))
     )
 
@@ -749,7 +749,7 @@ def _q_corpus_clean(sf_dir: str):
             })
 
     return joined.map_batches(CleanFilter, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+                              zero_copy_batch=True, concurrency=actor_pool())
 
 
 def _q_lineitem_pricing(sf_dir: str):
@@ -877,7 +877,7 @@ def _q_embed_dup_pairs(sf_dir: str):
 
     return tables.read_table(sf_dir, "embeddings",
                              columns=["vec_id", "embedding"]).map_batches(
-        DupPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
+        DupPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=actor_pool())
 
 
 def _q_ann_ivf(sf_dir: str):

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..config import actor_pool
+
 
 def _as_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix (zero-copy flat)."""
@@ -61,7 +63,7 @@ class CosineTopKActor:
 
 def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency=(1, 4), batch_size: int = 8192):
+                concurrency=None, batch_size: int = 8192):
     """Exact distributed cosine top-k: per-batch partial top-k (actor
     pool) -> groupby(query_id) final merge.  Returns
     (query_id, vec_id, rnk) ordered by (-cosine, vec_id)."""
@@ -70,7 +72,7 @@ def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
         CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"queries_ref": ref, "k": k,
                                "id_col": id_col, "vec_col": vec_col},
-        concurrency=concurrency, batch_size=batch_size,
+        concurrency=concurrency or actor_pool(), batch_size=batch_size,
     )
 
     def merge(group):
@@ -121,7 +123,7 @@ def ivf_topk(ds, queries: dict[str, np.ndarray],
              train_matrix: dict[str, np.ndarray], k: int,
              n_list: int = 16, n_probe: int = 2, iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency=(1, 4), batch_size: int = 8192):
+             concurrency=None, batch_size: int = 8192):
     """IVF (inverted-file) ANN — the k-means-bucketed scale path next to
     the hyperplane-LSH one: corpus rows assign to their nearest coarse
     centroid inside ``map_batches`` (no shuffle; the 'inverted list' is
@@ -171,7 +173,8 @@ def ivf_topk(ds, queries: dict[str, np.ndarray],
             })
 
     partials = ds.map_batches(IvfScore, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=concurrency,
+                              zero_copy_batch=True,
+                              concurrency=concurrency or actor_pool(),
                               batch_size=batch_size)
 
     def merge(group):
@@ -237,7 +240,7 @@ def lsh_dup_pairs(ds, matrix_payload: dict[str, np.ndarray],
             })
 
     exploded = ds.map_batches(Bucketize, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+                              zero_copy_batch=True, concurrency=actor_pool())
     reps = exploded.groupby(["tbl", "bkt"]).aggregate(
         Min(id_col, alias_name="vec_a"))
     joined = exploded.join(reps, "inner", num_partitions, on=("tbl", "bkt"))
@@ -270,7 +273,7 @@ def lsh_dup_pairs(ds, matrix_payload: dict[str, np.ndarray],
             })
 
     return distinct.map_batches(CosVerify, batch_format="pyarrow",
-                                zero_copy_batch=True, concurrency=(1, 4))
+                                zero_copy_batch=True, concurrency=actor_pool())
 
 
 def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
@@ -332,7 +335,7 @@ def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
             })
 
     partials = ds.map_batches(BucketScore, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+                              zero_copy_batch=True, concurrency=actor_pool())
 
     def merge(group):
         g = group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..config import actor_pool
+
 from .text import FNV_PRIME, FNV_SEED, flat_token_hashes, hash_token
 
 # 64 independent 64-bit universal-hash parameter pairs for MinHash,
@@ -216,7 +218,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", num_perm: int = 64,
         EstJaccardActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"sigs_ref": sig_ref, "num_perm": num_perm,
                                "threshold": jaccard_threshold},
-        concurrency=(1, 4), batch_size=8192,
+        concurrency=actor_pool(), batch_size=8192,
     )
 
 

@@ -19,6 +19,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..config import actor_pool
+
 
 class MediaFeatureActor:
     """Extract per-media-span features from interleaved docs.
@@ -71,7 +73,7 @@ class MediaFeatureActor:
 
 
 def media_features(docs, decode: str = "fake", dim: int = 16,
-                   concurrency=(1, 4), batch_size: int = 512):
+                   concurrency=None, batch_size: int = 512):
     """Actor-pool media feature extraction over interleaved docs.
 
     Small ``batch_size`` on purpose: media rows are wide; a batch x
@@ -80,7 +82,7 @@ def media_features(docs, decode: str = "fake", dim: int = 16,
     return docs.map_batches(
         MediaFeatureActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"decode": decode, "dim": dim},
-        concurrency=concurrency, batch_size=batch_size,
+        concurrency=concurrency or actor_pool(), batch_size=batch_size,
     )
 
 
@@ -160,9 +162,9 @@ class MediaTransformActor:
 
 
 def media_transform(docs, op: str = "resize", decode: str = "fake",
-                    concurrency=(1, 4), batch_size: int = 512, **kw):
+                    concurrency=None, batch_size: int = 512, **kw):
     return docs.map_batches(
         MediaTransformActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"op": op, "decode": decode, **kw},
-        concurrency=concurrency, batch_size=batch_size,
+        concurrency=concurrency or actor_pool(), batch_size=batch_size,
     )

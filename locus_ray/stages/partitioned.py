@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 
 from ..cells import cover_boxes, grid_coords
-from ..config import DEFAULT_CELL_RES, WORLD_H, WORLD_W
+from ..config import DEFAULT_CELL_RES, WORLD_H, WORLD_W, actor_pool
 from ..kernels import box_point_squared_distance, contains_point
 
 
@@ -176,7 +176,7 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
         broadcast_branch = docs.map_batches(
             ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
             fn_constructor_kwargs={"zones_ref": big_ref, "res": res, "carry": carry},
-            concurrency=(1, 4), batch_size=8192,
+            concurrency=actor_pool(), batch_size=8192,
         )
 
     zones_small = tagged.map_batches(
@@ -378,6 +378,6 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         fn_constructor_kwargs={"build_ref": build_ref, "kind": "box",
                                "res": res, "k": k, "carry": (key,),
                                "id_out": "zone_id"},
-        concurrency=(1, 4), batch_size=8192,
+        concurrency=actor_pool(), batch_size=8192,
     ).select_columns([key, "zone_id", "d2", "rnk"])
     return done.union(extra)
