@@ -92,3 +92,61 @@ def test_contain_vs_brute_force():
         )[0]
     }
     assert got == exp
+
+
+def test_box_out_of_world_queries_fall_back_to_rings():
+    """Out-of-world points skip the per-cell-list fast path (its U_all
+    argument needs the point inside its home cell) and must still get
+    exact answers from the ring + dense fallback."""
+    import numpy as np
+
+    from locus_ray import derive
+    from locus_ray.grid_index import GridKnn, box_point_squared_distance
+
+    ids = np.arange(400, dtype=np.int64)
+    mnx, mxx, mny, mxy = derive.zone_box(ids)
+    g = GridKnn("box", {"min_x": mnx, "max_x": mxx, "min_y": mny, "max_y": mxy},
+                ids, 8)
+    qx = np.array([-250.0, 400.0, 10.0, 0.0])
+    qy = np.array([5.0, -120.0, 300.0, 0.0])  # 3 out-of-world, 1 in
+    bi, bd = g.query(qx, qy, 3)
+    for i in range(len(qx)):
+        d2 = box_point_squared_distance(mnx, mxx, mny, mxy, qx[i], qy[i])
+        o = np.lexsort((ids, d2))
+        assert list(bi[i]) == list(ids[o[:3]]), i
+
+
+def test_point_build_single_cell_cluster():
+    """All build points inside one tiny region (degenerate hot case)."""
+    import numpy as np
+
+    from locus_ray.grid_index import GridKnn
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    x = 10.0 + rng.uniform(0, 0.001, n)
+    y = 50.0 + rng.uniform(0, 0.001, n)
+    ids = np.arange(n, dtype=np.int64)
+    g = GridKnn("point", {"x": x, "y": y}, ids, 8)
+    qx = np.array([10.0005, -170.0])
+    qy = np.array([50.0005, -80.0])
+    bi, bd = g.query(qx, qy, 2)
+    for i in range(2):
+        d2 = (x - qx[i]) ** 2 + (y - qy[i]) ** 2
+        o = np.lexsort((ids, d2))
+        assert list(bi[i]) == list(ids[o[:2]]), i
+
+
+def test_segseg_k_exceeds_build_size():
+    import numpy as np
+
+    from locus_ray.grid_index import SegSegGridKnn
+
+    sx = np.array([0.0, 10.0]); sy = np.array([0.0, 10.0])
+    ex = np.array([1.0, 11.0]); ey = np.array([0.5, 10.5])
+    g = SegSegGridKnn({"start_x": sx, "start_y": sy, "end_x": ex, "end_y": ey},
+                      np.array([7, 9], dtype=np.int64), 8)
+    bi, bd = g.query(np.array([5.0]), np.array([5.0]),
+                     np.array([6.0]), np.array([5.5]), 5)
+    assert set(bi[0][bi[0] >= 0]) == {7, 9}
+    assert (bi[0] >= 0).sum() == 2
