@@ -916,6 +916,16 @@ def _q_embed_dup_pairs_lsh(sf_dir: str):
     )
 
 
+def _q_embed_dup_components(sf_dir: str):
+    """Duplicate-cluster verdicts: connected components (min-label
+    propagation) over the exact embedding near-dup pairs."""
+    from .stages.dedup import connected_components
+
+    return connected_components(_q_embed_dup_pairs(sf_dir),
+                                a_col="vec_a", b_col="vec_b",
+                                id_out="vec_id", comp_out="component")
+
+
 def _q_media_features(sf_dir: str):
     """Media features with the list<float> vector exploded to scalar
     f00..f15 columns so the driver's value-hash compare (which sorts
@@ -1015,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "embed_dup_pairs_lsh": _q_embed_dup_pairs_lsh,
+        "embed_dup_components": _q_embed_dup_components,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -1088,6 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
         "embed_dup_pairs_lsh": oracles.embed_dup_pairs_lsh_sql(
+            workload.EMBED_DUP_THRESHOLD),
+        "embed_dup_components": oracles.embed_dup_components_sql(
             workload.EMBED_DUP_THRESHOLD),
         "media_features": oracles.media_features_sql(n_docs=500, dim=16),
         "media_resize": oracles.media_resize_sql(n_docs=500),

@@ -414,6 +414,26 @@ def embed_dup_pairs_sql(threshold: float) -> str:
     """
 
 
+def embed_dup_components_sql(threshold: float) -> str:
+    """Connected components over the exact near-dup pairs: recursive
+    label reachability, component = MIN reachable id (mirrors
+    dedup.connected_components' min-label fixed point)."""
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {derive.F(threshold)}
+    ),
+    e AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+    cc(node, lab) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.node
+    )
+    SELECT node AS vec_id, MIN(lab) AS component FROM cc GROUP BY node
+    """
+
+
 def ann_ivf_sql(query_ids: list[int], k: int, dim: int = 64,
                 n_list: int = 16, n_probe: int = 2, iters: int = 3) -> str:
     """Replicates ann.ivf_topk bit-for-bit: integer quantization

@@ -276,6 +276,75 @@ def simhash(ds, text_col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
+                         id_out: str = "doc_id", comp_out: str = "component",
+                         max_rounds: int = 64, num_partitions: int = 16):
+    """Duplicate-cluster resolution: connected components over near-dup
+    pairs via iterative MIN-label propagation — turns any pair stream
+    (MinHash / SimHash / embedding) into a per-doc keep verdict
+    (``component`` = smallest id in the cluster; keep iff id ==
+    component).
+
+    Every round is fully distributed (one hash join + two Min
+    aggregates over (node, label) rows); the driver only compares a
+    single convergence scalar between rounds.  Labels are
+    monotonically non-increasing, so the label SUM strictly decreases
+    until the fixed point — rounds needed ~ component diameter, which
+    for star-linked LSH pair streams is O(log clusters) in practice.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def edges_batch(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy()
+        b = batch.column(b_col).to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate((a, b))),
+            "dst": pa.array(np.concatenate((b, a))),
+        })
+
+    edges = pairs.map_batches(edges_batch, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    # labels carry their node id under the JOIN KEY NAME ("dst") the
+    # whole way, so every join consumes a materialized dataset directly
+    # (a lazy rename feeding Dataset.join trips Acero's key resolution)
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="lab"))
+
+    def self_min(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.min_element_wise(batch.column("src"), batch.column("lab"))
+        return pa.table({"dst": batch.column("src"), "lab": lab})
+
+    labels = labels.map_batches(self_min, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    prev_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+
+    def nbr_to_label(batch: pa.Table) -> pa.Table:
+        # attribute the neighbor's label to the edge SOURCE node
+        return pa.table({"dst": batch.column("src"),
+                         "lab": batch.column("lab")})
+
+    for _ in range(max_rounds):
+        nbr = edges.join(labels, "inner", num_partitions, on=("dst",)
+                         ).map_batches(nbr_to_label, batch_format="pyarrow")
+        labels = (
+            labels.union(nbr)
+            .groupby("dst").aggregate(Min("lab", alias_name="lab"))
+            # normalize blocks: the aggregate emits SCHEMA-LESS empty
+            # blocks for empty hash partitions, which Acero's join key
+            # resolution rejects ("no match for FieldRef dst")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: t.rename_columns([id_out, comp_out]), batch_format="pyarrow")
+
+
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

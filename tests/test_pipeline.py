@@ -369,3 +369,20 @@ def test_io_lance_gating(ray_session, tmp_path):
     io.write_docs(ds, out)
     back = io.read_docs(out, columns=["doc_id"])
     assert back.count() == 3
+
+
+def test_connected_components_chain(ray_session):
+    """A chain a-b-c-d (diameter 3) plus an isolated pair must resolve
+    to min-id components in a few propagation rounds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.dedup import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": np.array([1, 2, 3, 10], dtype=np.int64),
+        "doc_b": np.array([2, 3, 4, 11], dtype=np.int64),
+    }))
+    out = connected_components(pairs).to_pandas().sort_values("doc_id")
+    assert dict(zip(out["doc_id"], out["component"])) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
