@@ -274,7 +274,13 @@ class GridKnn:
 
         mnx, mxx, mny, mxy = _bbox_of(self.kind, self.g)
         n = len(self.ids)
-        _BOUND_SAMPLE = 2000  # subset kth >= full kth: sampling stays valid
+        # Subset kth >= full kth, so ANY sample gives a valid ceiling —
+        # but tightness tracks coverage (a kth over an m-sample is only
+        # the ~(k*n/m)th-tightest of the full set).  20k covers the
+        # dimension-scale build layers exactly; larger builds pay one
+        # n_cells x 20k pass (~82M evals at f_res 6), still once per
+        # index.
+        _BOUND_SAMPLE = 20000
         if n > _BOUND_SAMPLE:
             # seeded uniform sample — NOT a fixed stride, which can
             # alias with periodic structure in the build side (e.g. a
