@@ -167,7 +167,10 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
 
         keys = np.arange(self_docs, dtype=np.int64)
         xx, yy = derive.doc_xy(keys)
-        ref_local = ray.put({"ids": keys, "x": xx, "y": yy})
+        # prebuilt once on the driver: a 1M-point index build per actor
+        # (buckets + hot split + bounds) made this stage anti-scale
+        ref_local = ray.put(spatial.prebuilt_knn_index(
+            {"ids": keys, "x": xx, "y": yy}, "point", 8))
         return docs().limit(self_docs).map_batches(
             spatial.KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
             fn_constructor_kwargs={"build_ref": ref_local, "kind": "point",
