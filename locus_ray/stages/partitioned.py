@@ -277,6 +277,20 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         the same kind as any hash join's memory bound.
         """
         import pyarrow.compute as pc
+        from ray.data import DataContext
+
+        # fail LOUDLY if the partitioning invariant is at risk: a join
+        # partition block at/near the block-split threshold has likely
+        # been split by the executor, scattering one doc's candidate
+        # rows across blocks and silently truncating its top-k.
+        tgt = DataContext.get_current().target_max_block_size
+        if tgt and batch.nbytes >= int(0.9 * tgt):
+            raise RuntimeError(
+                f"knn_join_partitioned: join partition block is "
+                f"{batch.nbytes}B, within 10% of target_max_block_size "
+                f"({tgt}B) — block splitting would break per-doc candidate "
+                f"colocation; raise num_partitions so each partition stays "
+                f"well under the block-split threshold")
 
         mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
         mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
@@ -316,7 +330,12 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             rank = np.arange(len(rdoc), dtype=np.int64) - np.repeat(starts, counts)
             g_doc = rdoc[starts]
             kth = rd2[starts + np.minimum(counts, kk_total) - 1]
-            g_complete = (counts >= kk_total) & (kth <= bound)
+            # STRICT kth < bound: a zone exactly AT the pad-ring
+            # distance with a smaller id than a seen tie would violate
+            # the smallest-id tie-break if the doc retired here —
+            # boundary-tied docs fall through to the exact re-probe
+            # (same strict retirement as GridKnn.query; ADVICE r2 #2)
+            g_complete = (counts >= kk_total) & (kth < bound)
             keep = (rank < k) & np.repeat(g_complete, counts)
             n_done = int(keep.sum())
         else:
