@@ -137,6 +137,70 @@ def test_point_build_single_cell_cluster():
         assert list(bi[i]) == list(ids[o[:2]]), i
 
 
+def test_point_fully_degenerate_cluster():
+    """10^5 build points at ONE exact coordinate (the cluster no grid
+    can split) + uniform background.  The per-k dominance truncation in
+    _hot_level must keep this linear — only the kk smallest-id members
+    of the landmark can ever appear in a top-k — while staying exact
+    for queries at the landmark, near it, and far away.
+
+    Linearity is asserted STRUCTURALLY (the truncated hot level holds
+    ~kk members, not 10^5) rather than by wall-clock — identical runs
+    on this time-shared VM vary 0.6s..50s, so a timing assert only
+    measures contention (BASELINE.md 'VM noise')."""
+    import numpy as np
+
+    from locus_ray.grid_index import GridKnn
+
+    r = np.random.default_rng(11)
+    n_hot, n_cold = 100_000, 5_000
+    x = np.concatenate((np.full(n_hot, 10.0), r.uniform(-180, 180, n_cold)))
+    y = np.concatenate((np.full(n_hot, 50.0), r.uniform(-90, 90, n_cold)))
+    ids = np.arange(n_hot + n_cold, dtype=np.int64)
+    g = GridKnn("point", {"x": x, "y": y}, ids, 8)
+    qx = np.array([10.0, 10.001, 10.5, -170.0])
+    qy = np.array([50.0, 50.001, 50.5, -80.0])
+    bi, bd = g.query(qx, qy, 3)
+    for i in range(len(qx)):
+        d2 = (x - qx[i]) ** 2 + (y - qy[i]) ** 2
+        o = np.lexsort((ids, d2))
+        assert list(bi[i]) == list(ids[o[:3]]), i
+        assert np.allclose(bd[i], d2[o[:3]])
+    # the dominance truncation is what bounds the work: the kk=3 hot
+    # level must keep only the 3 smallest-id landmark members (no other
+    # hot cells exist), so rings and the bounded dump touch O(kk) rows
+    # instead of the 10^5-member landmark dump
+    _, members_k, _ = g._hot_level(3)
+    assert len(members_k) == 3, len(members_k)
+    assert list(np.sort(g.ids[members_k])) == [0, 1, 2]
+
+
+def test_segseg_vs_brute_force():
+    """SegSegGridKnn vs dense P7 — including overlapping/crossing
+    segments (zero distance) and far pairs, random k."""
+    import numpy as np
+
+    from locus_ray.grid_index import SegSegGridKnn
+    from locus_ray.kernels import segments_squared_distance
+
+    r = np.random.default_rng(17)
+    m, n, k = 250, 120, 4
+    sx = r.uniform(-170, 170, m); sy = r.uniform(-80, 80, m)
+    ex = sx + r.uniform(-6, 6, m); ey = sy + r.uniform(-6, 6, m)
+    ids = np.arange(m, dtype=np.int64)
+    g = SegSegGridKnn({"start_x": sx, "start_y": sy, "end_x": ex, "end_y": ey},
+                      ids, 8)
+    qsx = r.uniform(-170, 170, n); qsy = r.uniform(-80, 80, n)
+    qex = qsx + r.uniform(-6, 6, n); qey = qsy + r.uniform(-6, 6, n)
+    bi, bd = g.query(qsx, qsy, qex, qey, k)
+    for i in range(n):
+        d2 = segments_squared_distance(sx, sy, ex, ey,
+                                       qsx[i], qsy[i], qex[i], qey[i])
+        o = np.lexsort((ids, d2))[:k]
+        assert list(bi[i]) == list(ids[o]), i
+        assert np.allclose(bd[i], d2[o])
+
+
 def test_segseg_k_exceeds_build_size():
     import numpy as np
 
