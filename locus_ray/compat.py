@@ -9,11 +9,17 @@ items, empty kd-tree ``nearest_*`` raises ``ValueError``.
 Differences (documented, per SURVEY.md §2.6): distance ties resolve to
 the SMALLEST id deterministically (the reference's tie winner is a
 traversal artifact and differs between its own r/segmental variants,
-locus/r.py:603 vs locus/segmental.py:521); all scalars are float64
-(the reference's exact-``Fraction`` contexts are out of scope for the
-distributed engine — boundary predicates remain exact because closed /
-strict comparisons on float64 inputs are exact when the inputs are the
-stored values themselves).
+locus/r.py:603 vs locus/segmental.py:521); results order ascending by
+(distance, id).
+
+Scalar types: int/float go through the float64 engine.  ``Fraction``
+coordinates (the reference's ``coordinate_factory=Fraction`` context,
+README.md:50-51, tests/strategies/base.py:61-68) switch the tree to
+the exact-rational path of :mod:`locus_ray.rational`: queries run in
+pure ``Fraction`` arithmetic and return the original scalars, so
+geometries closer together than one float64 ulp still resolve
+exactly.  The exact path supports the euclidean (default/exact)
+contexts only.
 
 Geometries are plain tuples: Point ``(x, y)``, Box ``(min_x, max_x,
 min_y, max_y)`` (the reference's construction order, README.md:68),
@@ -26,11 +32,19 @@ from collections.abc import Sequence
 
 import numpy as np
 
+from . import rational
 from .index import KDTree, PackedRTree, SegmentTree
 
 Point = tuple[float, float]
 Box = tuple[float, float, float, float]
 Segment = tuple[Point, Point]
+
+
+def _require_euclidean(ctx) -> None:
+    if not ctx.uses_euclidean_bounds:
+        raise ValueError(
+            f"exact-rational (Fraction) geometries support the euclidean "
+            f"default/exact contexts only, not {ctx.name!r}")
 
 
 class KdTree:
@@ -48,6 +62,12 @@ class KdTree:
 
         self.points = list(points)
         self._ctx = get_context(context)
+        self._exact = rational.has_fraction(
+            s for p in self.points for s in p)
+        if self._exact:
+            _require_euclidean(self._ctx)
+            self._tree = self._grid = None
+            return
         xs = np.asarray([p[0] for p in points], dtype=np.float64)
         ys = np.asarray([p[1] for p in points], dtype=np.float64)
         self._tree = KDTree(xs, ys)
@@ -59,8 +79,17 @@ class KdTree:
                                  np.arange(len(xs), dtype=np.int64), 8,
                                  context=self._ctx)
 
+    def _d2s(self, point: Point) -> list:
+        return [rational.point_point_d2(px, py, point[0], point[1])
+                for px, py in self.points]
+
     # nearest (locus/kd.py:320-374 contract)
     def nearest_item(self, point: Point) -> tuple[int, Point]:
+        if self._exact:
+            if not self.points:
+                raise ValueError("empty tree")
+            i = rational.top_n(self._d2s(point), 1)[0]
+            return i, self.points[i]
         if self._grid is not None:
             if not self.points:
                 raise ValueError("empty tree")
@@ -77,6 +106,9 @@ class KdTree:
 
     # n_nearest (locus/kd.py:176-253 contract incl. n >= size fast path)
     def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Point]]:
+        if self._exact:
+            return [(i, self.points[i])
+                    for i in rational.top_n(self._d2s(point), n)]
         if self._grid is not None:
             ids, _ = self._grid.query(np.asarray([point[0]]), np.asarray([point[1]]), n)
             return [(int(i), self.points[int(i)]) for i in ids[0] if i >= 0]
@@ -90,6 +122,10 @@ class KdTree:
 
     # box range (locus/kd.py:449-507 contract, closed box)
     def find_box_items(self, box: Box) -> list[tuple[int, Point]]:
+        if self._exact:
+            mnx, mxx, mny, mxy = box
+            return [(i, p) for i, p in enumerate(self.points)
+                    if mnx <= p[0] <= mxx and mny <= p[1] <= mxy]
         ids = self._tree.find_box(*box)
         return [(int(i), self.points[int(i)]) for i in ids]
 
@@ -111,6 +147,12 @@ class RTree:
             raise ValueError("R-tree requires at least one box")
         self.boxes = list(boxes)
         self._ctx = get_context(context)
+        self._exact = rational.has_fraction(
+            s for b in self.boxes for s in b)
+        if self._exact:
+            _require_euclidean(self._ctx)
+            self._tree = self._grid = None
+            return
         arr = np.asarray(boxes, dtype=np.float64)
         self._tree = PackedRTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
                                  max_children=max_children)
@@ -124,7 +166,14 @@ class RTree:
                  "min_y": arr[:, 2], "max_y": arr[:, 3]},
                 np.arange(len(arr), dtype=np.int64), 8, context=self._ctx)
 
+    def _d2s(self, point: Point) -> list:
+        return [rational.box_point_d2(*b, point[0], point[1])
+                for b in self.boxes]
+
     def nearest_item(self, point: Point) -> tuple[int, Box]:
+        if self._exact:
+            i = rational.top_n(self._d2s(point), 1)[0]
+            return i, self.boxes[i]
         if self._grid is not None:
             ids, _ = self._grid.query(np.asarray([point[0]]),
                                       np.asarray([point[1]]), 1)
@@ -139,6 +188,9 @@ class RTree:
         return self.nearest_item(point)[1]
 
     def n_nearest_items(self, n: int, point: Point) -> list[tuple[int, Box]]:
+        if self._exact:
+            return [(i, self.boxes[i])
+                    for i in rational.top_n(self._d2s(point), n)]
         if self._grid is not None:
             ids, _ = self._grid.query(np.asarray([point[0]]),
                                       np.asarray([point[1]]), n)
@@ -153,6 +205,11 @@ class RTree:
 
     # containment (locus/r.py:120-353 contracts)
     def find_subsets_items(self, box: Box) -> list[tuple[int, Box]]:
+        if self._exact:
+            mnx, mxx, mny, mxy = box
+            return [(i, b) for i, b in enumerate(self.boxes)
+                    if mnx <= b[0] and b[1] <= mxx
+                    and mny <= b[2] and b[3] <= mxy]
         return [(int(i), self.boxes[int(i)]) for i in self._tree.find_subsets(*box)]
 
     def find_subsets_indices(self, box: Box) -> list[int]:
@@ -162,6 +219,11 @@ class RTree:
         return [b for _, b in self.find_subsets_items(box)]
 
     def find_supersets_items(self, box: Box) -> list[tuple[int, Box]]:
+        if self._exact:
+            mnx, mxx, mny, mxy = box
+            return [(i, b) for i, b in enumerate(self.boxes)
+                    if b[0] <= mnx and mxx <= b[1]
+                    and b[2] <= mny and mxy <= b[3]]
         return [(int(i), self.boxes[int(i)]) for i in self._tree.find_supersets(*box)]
 
     def find_supersets_indices(self, box: Box) -> list[int]:
@@ -182,6 +244,12 @@ class SegmentalTree:
             raise ValueError("segmental tree requires at least one segment")
         self.segments = list(segments)
         self._ctx = get_context(context)
+        self._exact = rational.has_fraction(
+            s for seg in self.segments for pt in seg for s in pt)
+        if self._exact:
+            _require_euclidean(self._ctx)
+            self._tree = self._grid = None
+            return
         arr = np.asarray([(s[0][0], s[0][1], s[1][0], s[1][1]) for s in segments],
                          dtype=np.float64)
         self._tree = SegmentTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
@@ -195,7 +263,21 @@ class SegmentalTree:
                  "end_x": arr[:, 2], "end_y": arr[:, 3]},
                 np.arange(len(arr), dtype=np.int64), 8, context=self._ctx)
 
+    def _seg_d2s(self, segment: Segment) -> list:
+        (sx, sy), (ex, ey) = segment
+        return [rational.segment_segment_d2(
+                    s[0][0], s[0][1], s[1][0], s[1][1], sx, sy, ex, ey)
+                for s in self.segments]
+
+    def _pt_d2s(self, point: Point) -> list:
+        return [rational.segment_point_d2(
+                    s[0][0], s[0][1], s[1][0], s[1][1], point[0], point[1])
+                for s in self.segments]
+
     def nearest_item(self, segment: Segment) -> tuple[int, Segment]:
+        if self._exact:
+            i = rational.top_n(self._seg_d2s(segment), 1)[0]
+            return i, self.segments[i]
         i, _ = self._tree.nearest_to_segment(
             segment[0][0], segment[0][1], segment[1][0], segment[1][1]
         )
@@ -208,6 +290,9 @@ class SegmentalTree:
         return self.nearest_item(segment)[1]
 
     def n_nearest_items(self, n: int, segment: Segment) -> list[tuple[int, Segment]]:
+        if self._exact:
+            return [(i, self.segments[i])
+                    for i in rational.top_n(self._seg_d2s(segment), n)]
         if self._grid is not None:
             ids, _ = self._grid.query(
                 np.asarray([segment[0][0]]), np.asarray([segment[0][1]]),
@@ -227,6 +312,9 @@ class SegmentalTree:
         return [s for _, s in self.n_nearest_items(n, segment)]
 
     def nearest_to_point_item(self, point: Point) -> tuple[int, Segment]:
+        if self._exact:
+            i = rational.top_n(self._pt_d2s(point), 1)[0]
+            return i, self.segments[i]
         i, _ = self._tree.nearest_to_point(point[0], point[1])
         return i, self.segments[i]
 
@@ -237,6 +325,9 @@ class SegmentalTree:
         return self.nearest_to_point_item(point)[1]
 
     def n_nearest_to_point_items(self, n: int, point: Point) -> list[tuple[int, Segment]]:
+        if self._exact:
+            return [(i, self.segments[i])
+                    for i in rational.top_n(self._pt_d2s(point), n)]
         return [(i, self.segments[i])
                 for i, _ in self._tree.n_nearest_to_point(n, point[0], point[1])]
 
