@@ -979,7 +979,8 @@ def _q_flagship_spans(sf_dir: str):
     from .pipelines import flagship
 
     out = flagship.flagship(sf_dir=sf_dir, n_docs=1000)
-    return out.select_columns(["doc_id", "cell_id", "zone_id", "rnk", "d2"])
+    return out.select_columns(
+        ["doc_id", "cell_id", "zone_id", "rnk", "d2", "in_zone"])
 
 
 # ---------------------------------------------------------------------------

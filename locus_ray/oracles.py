@@ -220,7 +220,7 @@ def flagship_spans_sql(n_docs: int, k: int) -> str:
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, zone_id) AS rnk
                FROM scored)
     SELECT 'doc-' || lpad(CAST(id AS VARCHAR), 10, '0') AS doc_id,
-           cell_id, zone_id, rnk, d2
+           cell_id, zone_id, rnk, d2, d2 = 0.0e0 AS in_zone
     FROM ranked WHERE rnk <= {k}
     """
 

@@ -5,8 +5,11 @@ text+media corpus (``doc_id: string``, ``spans: list<struct>``, geotag)
 streams through
 
   cell-encode (``assign_tiles``) ->
-  kNN join to the zone layer (broadcast GridKnn actor pool) ->
-  containment join to the zone layer
+  kNN join to the zone layer (broadcast GridKnn actor pool)
+  with the containment refine FUSED into the kNN emit (``in_zone`` =
+  closed containment of the doc in each ranked zone, derived from the
+  box-point gap inside the same actor — no second join, zero extra
+  shuffle bytes)
 
 with ``spans`` carried untouched through every stage (the span-sequence
 equality invariant; verified by tests/test_pipeline.py against
@@ -27,8 +30,9 @@ def flagship(sf_dir: str | None = None, n_docs: int = 2000, res: int = DEFAULT_C
              k: int = 3, concurrency=(1, 4), batch_size: int = 4096,
              docs=None):
     """Returns the flagship result Dataset:
-    (doc_id, spans, cell_id, hilbert_key, zone_id, rnk, d2) — one row
-    per (doc, rank<=k) nearest zone, spans carried untouched."""
+    (doc_id, spans, cell_id, hilbert_key, zone_id, rnk, d2, in_zone) —
+    one row per (doc, rank<=k) nearest zone with the fused containment
+    flag, spans carried untouched."""
     if docs is None:
         docs = synth.interleaved_docs(n_docs)
     if sf_dir is not None:
@@ -47,7 +51,7 @@ def flagship(sf_dir: str | None = None, n_docs: int = 2000, res: int = DEFAULT_C
         fn_constructor_kwargs={
             "build_ref": ref, "kind": "box", "res": res, "k": k,
             "carry": ("doc_id", "spans", "cell_id", "hilbert_key"),
-            "id_out": "zone_id",
+            "id_out": "zone_id", "contains_out": "in_zone",
         },
         concurrency=concurrency, batch_size=batch_size,
     )

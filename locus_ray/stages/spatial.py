@@ -96,7 +96,7 @@ class KnnJoinActor:
                  x_col: str = "x", y_col: str = "y",
                  carry: tuple[str, ...] = ("doc_id",),
                  id_out: str = "neighbor_id", rank_out: str = "rnk",
-                 dist_out: str = "d2"):
+                 dist_out: str = "d2", contains_out: str | None = None):
         payload = ray.get(build_ref) if isinstance(build_ref, ray.ObjectRef) else build_ref
         if isinstance(payload, GridKnn):
             # prebuilt index (driver builds ONCE, every actor shares the
@@ -109,6 +109,7 @@ class KnnJoinActor:
         self.k = k
         self.x_col, self.y_col, self.carry = x_col, y_col, carry
         self.id_out, self.rank_out, self.dist_out = id_out, rank_out, dist_out
+        self.contains_out = contains_out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qx = batch.column(self.x_col).to_numpy(zero_copy_only=False)
@@ -121,6 +122,12 @@ class KnnJoinActor:
         cols[self.id_out] = pa.array(ids[found])
         cols[self.rank_out] = pa.array(ranks + 1)  # 1-based, matches SQL ROW_NUMBER
         cols[self.dist_out] = pa.array(d2[found])
+        if self.contains_out is not None:
+            # fused containment refine (box kind): the box-point gap is
+            # 0 exactly iff the probe point lies in the CLOSED neighbor
+            # box (P1 semantics, kernels.py:27) — no box re-lookup, no
+            # extra join, zero added shuffle bytes
+            cols[self.contains_out] = pa.array(d2[found] == 0.0)
         return pa.table(cols)
 
 
