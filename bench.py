@@ -94,11 +94,17 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     ).count()
 
     queries: dict[str, float] = {}
+    # BENCH_ONLY=name1,name2 runs just those queries (isolation knob
+    # for clean-window re-measures on this time-shared VM)
+    only = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
 
     def timed(name, fn, reps: int = 1):
         """Best-of-reps: this VM is time-shared with +-30% (sometimes
         3x) noise; the minimum is the least-contended estimate of the
         pipeline's actual cost."""
+        if only and name not in only:
+            return
+        reps = max(reps, int(os.environ.get("BENCH_REPS", "0")) or reps)
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -205,7 +211,8 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         concurrency=pool,
     ).count())
 
-    headline = queries["tile_assign"] + queries["knn_zones"] + queries["contain_join"]
+    headline = (queries.get("tile_assign", 0.0) + queries.get("knn_zones", 0.0)
+                + queries.get("contain_join", 0.0)) or sum(queries.values())
     result = {
         "metric": "flagship spatial chain (tile_assign + knn_zones + contain_join) wall sec",
         "value": round(headline, 3),
