@@ -719,13 +719,22 @@ class GridKnn:
                 # unseen hot members are beyond BOTH the hot level's
                 # covered radius and the point's distance to the
                 # nearest hot region — take whichever is larger, then
-                # the min with the main guarantee.  The ring-coverage
-                # term is valid only for queries INSIDE the (local)
-                # hot grid extent (hd == 0); outside rows rely on hd
-                # and, if still needy, the bounded dump
-                ring_cov = np.where(hd_all[active] == 0.0,
-                                    max(hot_r_prev, 0) * hot_min_cell, 0.0)
-                hot_guar = np.maximum(ring_cov, hd_all[active])
+                # the min with the main guarantee.  For a query OUTSIDE
+                # the (local) hot grid extent the rings are anchored to
+                # its CLAMPED cell, which contains the extent's nearest
+                # point p* with d(q, p*) == hd, so by the triangle
+                # inequality any unseen member m (beyond Chebyshev ring
+                # r of that cell, hence d(p*, m) >= r*min_cell) is at
+                # d(q, m) >= r*min_cell - hd.  Interior rows have
+                # hd == 0 and the term reduces to plain ring coverage.
+                # (An earlier zero-outside rule kept near-cluster rows
+                # active forever: 3.5x the loop rounds and a 187k-member
+                # bounded dump per straggler — the round-3 6x kNN
+                # regression.)
+                hd_act = hd_all[active]
+                ring_cov = np.maximum(
+                    max(hot_r_prev, 0) * hot_min_cell - hd_act, 0.0)
+                hot_guar = np.maximum(ring_cov, hd_act)
                 cov = np.minimum(cov_main, hot_guar)
             else:
                 cov = cov_main
