@@ -602,6 +602,56 @@ def _q_events_sliding(sf_dir: str):
     )
 
 
+def _events_keyed(sf_dir: str, num_partitions: int = 16):
+    """Events log keyed by a user-hash partition column (the shared
+    front end of the sessionize / as-of / range-join family)."""
+    from .sources import tables
+
+    ev = tables.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "pkey", pa.array(((u % 1000003) * 2654435761 % num_partitions)
+                             .astype(np.int64)))
+
+    return ev.map_batches(add_pkey, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the MOST RECENT prior click
+    by the same user (strict (ts, event_id) order — deterministic at
+    equal timestamps).  Hash-partition by user, one vectorized
+    shifted-maximum.accumulate pass per partition
+    (stages/events.asof_join_partition); no per-row/per-user Python."""
+    from .stages.events import asof_join_partition
+
+    def part(batch: pa.Table) -> pa.Table:
+        return asof_join_partition(batch, probe_type="purchase",
+                                   build_type="click")
+
+    return _events_keyed(sf_dir).groupby("pkey").map_groups(
+        part, batch_format="pyarrow")
+
+
+def _q_events_range_join(sf_dir: str):
+    """Range join: each purchase paired with EVERY view by the same
+    user in the trailing hour (v.ts in [p.ts - 1h, p.ts)).  Same
+    partition shape; windows resolve via union-lexsort binary search +
+    vectorized multi-range gather (stages/events.range_join_partition)."""
+    from .stages.events import range_join_partition
+
+    def part(batch: pa.Table) -> pa.Table:
+        return range_join_partition(batch, probe_type="purchase",
+                                    build_type="view",
+                                    window_us=3_600_000_000)
+
+    return _events_keyed(sf_dir).groupby("pkey").map_groups(
+        part, batch_format="pyarrow")
+
+
 def _q_tile_index_stats(sf_dir: str):
     """Per-partition index build (C3 shape): zones group by home tile at
     a coarse resolution; each group builds a packed Hilbert R-tree in
@@ -1043,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "customer_orders": _q_customer_orders,
         "lineitem_pricing": _q_lineitem_pricing,
         "priority_revenue": _q_priority_revenue,
@@ -1281,6 +1333,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0e0 - l.l_discount) * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_c
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "events_asof": """
+            WITH ordered AS (
+                SELECT event_id, ts, event_type,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN event_id END IGNORE NULLS)
+                         OVER w AS matched_id,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN epoch_us(ts) END IGNORE NULLS)
+                         OVER w AS m_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING))
+            SELECT event_id, matched_id,
+                   CAST(epoch_us(ts) - m_us AS BIGINT) AS gap_us
+            FROM ordered
+            WHERE event_type = 'purchase' AND matched_id IS NOT NULL
+        """,
+        "events_range_join": """
+            SELECT p.event_id AS probe_id, v.event_id AS build_id,
+                   CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS delta_us
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
         """,
         "events_sliding": """
             WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS k FROM events),
