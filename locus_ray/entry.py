@@ -602,6 +602,17 @@ def _q_events_sliding(sf_dir: str):
     )
 
 
+def _q_within_dist_pairs(sf_dir: str):
+    """Distance-threshold self-join: all doc pairs within 0.5 world
+    units (closed), ``id_a < id_b``.  One shuffle on radius-sized cell
+    keys with the forward-half-neighborhood visitor scheme
+    (stages/partitioned.within_distance_pairs)."""
+    from .sources import tables
+    from .stages.partitioned import within_distance_pairs
+
+    return within_distance_pairs(tables.docs_geo(sf_dir), radius=0.5)
+
+
 def _events_keyed(sf_dir: str, num_partitions: int = 16):
     """Events log keyed by a user-hash partition column (the shared
     front end of the sessionize / as-of / range-join family)."""
@@ -1089,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
         "knn_docs_self": _q_knn_docs_self,
+        "within_dist_pairs": _q_within_dist_pairs,
         # relational / streaming breadth
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
@@ -1173,6 +1185,14 @@ def oracle_sql() -> dict[str, str]:
                                                    _dedup_mod()._MH_B),
         "ann_lsh": oracles.ann_lsh_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
         "ann_ivf": oracles.ann_ivf_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
+        "within_dist_pairs": f"""
+            WITH d AS ({docs})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                  <= {derive.F(0.25)}
+        """,
         "find_box_docs": f"""
             WITH d AS ({docs})
             SELECT qb.query_id, d.doc_id FROM d CROSS JOIN {qb}

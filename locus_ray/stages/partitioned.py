@@ -400,3 +400,88 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         concurrency=actor_pool(), batch_size=8192,
     ).select_columns([key, "zone_id", "d2", "rnk"])
     return done.union(extra)
+
+
+def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
+                          x_col: str = "x", y_col: str = "y"):
+    """All unordered point pairs within CLOSED Euclidean ``radius``:
+    ``(id_a, id_b, d2)`` with ``id_a < id_b`` and ``d2 <= radius**2``.
+
+    The distance-threshold self-join (spatial blocking for geo-dedup /
+    co-location mining) — the pair-emitting sibling of the kNN self-
+    join.  Shuffle shape, one exchange: bin points into cells of side
+    ``radius`` so qualifying pairs span at most ADJACENT cells, emit
+    each point once as RESIDENT of its home cell plus one VISITOR copy
+    into the four forward neighbors (E, NE, N, NW); every unordered
+    adjacent-cell pair then meets in exactly one group (the reverse
+    directions are not emitted) and same-cell pairs meet in the
+    resident set, so no dedup pass is needed.  Per group, ONE
+    vectorized distance matrix scores resident x (resident + visitor)
+    and the id order is normalized after the fact ((a-b)**2 is
+    bit-identical to (b-a)**2, so d2 does not depend on orientation).
+
+    Skew: group compute is O(m^2) in the cell population — radius
+    should be chosen so cells hold O(k) points (it plays the role the
+    kNN engines' density-adaptive bucket res plays); a degenerate
+    all-points-one-spot corpus needs the hot-cell sub-bucketing of
+    grid_index before this operator, same caveat as documented there.
+    Pairs themselves are the OUTPUT, so output volume is inherent.
+    """
+    from ..config import WORLD_MIN_X, WORLD_MIN_Y
+
+    r2 = radius * radius
+
+    def explode(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cx = np.floor((x - WORLD_MIN_X) / radius).astype(np.int64)
+        cy = np.floor((y - WORLD_MIN_Y) / radius).astype(np.int64)
+        # forward half-neighborhood: E, NE, N, NW
+        dxs = np.array([0, 1, 1, 0, -1], dtype=np.int64)
+        dys = np.array([0, 0, 1, 1, 1], dtype=np.int64)
+        n = len(ids)
+        rep = np.repeat(np.arange(n, dtype=np.int64), len(dxs))
+        gx = cx[rep] + np.tile(dxs, n)
+        gy = cy[rep] + np.tile(dys, n)
+        res = np.tile(np.array([True, False, False, False, False]), n)
+        return pa.table({
+            "cell": gx * np.int64(1 << 31) + gy,
+            id_col: pa.array(ids[rep]),
+            x_col: pa.array(x[rep]),
+            y_col: pa.array(y[rep]),
+            "is_res": pa.array(res),
+        })
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        res = batch.column("is_res").to_numpy(zero_copy_only=False)
+        ri = np.nonzero(res)[0]
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "d2": pa.array([], type=pa.float64())})
+        if len(ri) == 0:
+            return empty
+        dx = x[ri][:, None] - x[None, :]
+        dy = y[ri][:, None] - y[None, :]
+        d2 = dx * dx + dy * dy
+        hit = d2 <= r2
+        # residents vs residents: keep strictly-upper (within ri order)
+        # to emit each same-cell pair once; residents vs visitors: all
+        pos_r = np.full(len(ids), -1, dtype=np.int64)
+        pos_r[ri] = np.arange(len(ri))
+        col_resrank = pos_r[None, :]
+        keep = hit & ((col_resrank < 0) | (col_resrank > np.arange(len(ri))[:, None]))
+        a, b = np.nonzero(keep)
+        ia, ib = ids[ri][a], ids[b]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "d2": pa.array(d2[a, b])})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return exploded.groupby("cell").map_groups(
+        pairs_of_group, batch_format="pyarrow")

@@ -386,3 +386,39 @@ def test_connected_components_chain(ray_session):
     out = connected_components(pairs).to_pandas().sort_values("doc_id")
     assert dict(zip(out["doc_id"], out["component"])) == {
         1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_within_distance_pairs_vs_brute_force(ray_session):
+    """Radius self-join matches an O(n^2) numpy brute force, including
+    pairs exactly AT the radius (closed) and across cell boundaries."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.partitioned import within_distance_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.uniform(-10, 10, n)
+    y = rng.uniform(-5, 5, n)
+    # planted: a pair exactly at distance r (closed -> included), one
+    # just beyond (excluded), and a pair straddling a cell boundary
+    r = 0.5
+    x[0], y[0] = 0.0, 0.0
+    x[1], y[1] = r, 0.0              # exactly r
+    x[2], y[2] = 0.0, np.nextafter(r, 1.0)  # just beyond r
+    x[3], y[3] = -180.0 + 0.499, -90.0 + 0.001   # cell (0, 0)
+    x[4], y[4] = -180.0 + 0.501, -90.0 + 0.001   # cell (1, 0), dist 0.002
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "x": pa.array(x), "y": pa.array(y)}))
+    out = within_distance_pairs(ds, radius=r).to_pandas()
+    got = sorted(zip(out.id_a, out.id_b, out.d2))
+
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    a, b = np.nonzero((d2 <= r * r) & (ids[:, None] < ids[None, :]))
+    want = sorted(zip(ids[a], ids[b], d2[a, b]))
+    assert (0, 1, r * r) in want and (3, 4, d2[3, 4]) in want
+    assert not any(p[:2] == (0, 2) for p in want)
+    assert got == want
