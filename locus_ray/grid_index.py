@@ -108,6 +108,37 @@ class _Buckets:
         self.offsets = np.append(idx, len(cells))
         self.members = out_rows[order]
 
+    @classmethod
+    def from_points(cls, res: int, x: np.ndarray, y: np.ndarray,
+                    rows: np.ndarray, extent: tuple | None = None):
+        """Point-only constructor: every member covers exactly one
+        cell, so the CSR build is one argsort — none of the box-cover
+        repeat/cumsum explosion (3 of those dominated the 1M-point
+        index build)."""
+        b = cls.__new__(cls)
+        b.axis = 1 << res
+        if extent is None:
+            b.x0, b.y0 = WORLD_MIN_X, WORLD_MIN_Y
+            b.w, b.h = WORLD_W, WORLD_H
+        else:
+            b.x0, b.y0, b.w, b.h = extent
+        if len(rows) == 0:
+            b.cells = np.empty(0, dtype=np.int64)
+            b.offsets = np.zeros(1, dtype=np.int64)
+            b.members = np.empty(0, dtype=np.int64)
+            return b
+        cx = np.clip(np.floor((x - b.x0) / b.w * b.axis),
+                     0, b.axis - 1).astype(np.int64)
+        cy = np.clip(np.floor((y - b.y0) / b.h * b.axis),
+                     0, b.axis - 1).astype(np.int64)
+        cells = cx * b.axis + cy
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        b.cells, idx = np.unique(sc, return_index=True)
+        b.offsets = np.append(idx, len(sc))
+        b.members = rows[order]
+        return b
+
     def lookup(self, cell_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(caller_row, member_position) pairs for flat cell ids."""
         if not len(self.cells) or not len(cell_ids):
@@ -173,7 +204,58 @@ class GridKnn:
         mnx, mxx, mny, mxy = _bbox_of(kind, self.g)
         rows = np.arange(n, dtype=np.int64)
         if kind == "point":
-            large = np.zeros(n, dtype=bool)
+            # dedicated build path: points cover exactly one cell, so
+            # hot-cell classification is one bincount over flat cell
+            # ids and every bucket level uses the argsort-only
+            # _Buckets.from_points — the generic path built (and then
+            # DISCARDED) a full box-cover CSR just to find hot cells
+            self.large_pos = rows[:0]
+            self.hot_buckets = None
+            x, y = self.g["x"], self.g["y"]
+            cold_rows = rows
+            if n > 4 * HOT_CELL_MEMBERS:
+                axis = self.n_cells_axis
+                cx = np.clip(np.floor((x - WORLD_MIN_X) / WORLD_W * axis),
+                             0, axis - 1).astype(np.int64)
+                cy = np.clip(np.floor((y - WORLD_MIN_Y) / WORLD_H * axis),
+                             0, axis - 1).astype(np.int64)
+                cells_all = cx * axis + cy
+                sizes = np.bincount(cells_all)
+                hot_mask = sizes[cells_all] > HOT_CELL_MEMBERS
+                if hot_mask.any():
+                    cold_rows = rows[~hot_mask]
+                    # world bbox of hot members: gap distance to it
+                    # lower-bounds distance to ANY hot member — O(1)
+                    # per query row
+                    xh, yh = x[hot_mask], y[hot_mask]
+                    self._hot_world = (float(xh.min()), float(xh.max()),
+                                       float(yh.min()), float(yh.max()))
+                    # CLUSTER-LOCAL fine grid: anchored to the
+                    # hot-member bbox (not the world), res sized so
+                    # occupied cells hold ~8 members under UNIFORM
+                    # in-cluster density — an arbitrarily tight
+                    # cluster therefore always splits (round-2's
+                    # world-anchored level capped at res 14 and left
+                    # tiny clusters in a single cell)
+                    n_hot = int(hot_mask.sum())
+                    ex0, ex1, ey0, ey1 = self._hot_world
+                    extent = (ex0, ey0, max(ex1 - ex0, 1e-12),
+                              max(ey1 - ey0, 1e-12))
+                    res_h = int(np.clip(
+                        np.ceil(np.log2(max(np.sqrt(n_hot / 8.0), 2.0))),
+                        2, 12))
+                    self._hot_res = res_h
+                    self._hot_extent = extent
+                    self.hot_buckets = _Buckets.from_points(
+                        res_h, xh, yh, rows[hot_mask], extent=extent)
+                    self.hot_members = rows[hot_mask]
+                    self._hot_bbox = self._occupied_bbox(self.hot_buckets)
+                    # per-k dominance-truncated hot levels (_hot_level)
+                    self._hot_k_cache = {}
+            self.buckets = _Buckets.from_points(
+                res, x[cold_rows], y[cold_rows], cold_rows)
+            self._g32 = None
+            return
         else:
             nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.n_cells_axis) - np.floor(
                 (mnx - WORLD_MIN_X) / WORLD_W * self.n_cells_axis
@@ -193,53 +275,10 @@ class GridKnn:
         if kind == "box" and self.ctx.uses_euclidean_bounds:
             self._g32 = {k_: v.astype(np.float32) for k_, v in self.g.items()}
 
-        # local sub-bucketing of HOT cells (point kind): members of
-        # cells holding > HOT_CELL_MEMBERS points move to a 16x-finer
-        # bucket level so in-cluster queries gather ~density-matched
-        # candidate sets instead of the whole cluster cell
+        # hot-cell sub-bucketing applies to the point kind only and is
+        # handled entirely in the dedicated point branch above
         self.hot_buckets = None
-        if kind == "point" and n > 4 * HOT_CELL_MEMBERS:
-            b = self.buckets
-            sizes = np.diff(b.offsets)
-            hot_cells = b.cells[sizes > HOT_CELL_MEMBERS]
-            if len(hot_cells):
-                hot_members = np.concatenate([
-                    b.members[b.offsets[i]:b.offsets[i + 1]]
-                    for i in np.nonzero(sizes > HOT_CELL_MEMBERS)[0]
-                ])
-                hot_mask = np.zeros(n, dtype=bool)
-                hot_mask[hot_members] = True
-                cold = small & ~hot_mask
-                self.buckets = _Buckets(res, mnx[cold], mxx[cold], mny[cold],
-                                        mxy[cold], rows[cold])
-                # world bbox of hot members: gap distance to it lower-
-                # bounds distance to ANY hot member — O(1) per query row
-                self._hot_world = (
-                    float(mnx[hot_mask].min()), float(mxx[hot_mask].max()),
-                    float(mny[hot_mask].min()), float(mxy[hot_mask].max()),
-                )
-                # CLUSTER-LOCAL fine grid: anchored to the hot-member
-                # bbox (not the world), res sized so occupied cells
-                # hold ~8 members under UNIFORM in-cluster density —
-                # an arbitrarily tight cluster therefore always splits
-                # (round-2's world-anchored level capped at res 14 and
-                # left tiny clusters in a single cell)
-                n_hot = int(hot_mask.sum())
-                ex0, ex1, ey0, ey1 = self._hot_world
-                extent = (ex0, ey0, max(ex1 - ex0, 1e-12),
-                          max(ey1 - ey0, 1e-12))
-                res_h = int(np.clip(
-                    np.ceil(np.log2(max(np.sqrt(n_hot / 8.0), 2.0))), 2, 12))
-                self._hot_res = res_h
-                self._hot_extent = extent
-                self.hot_buckets = _Buckets(
-                    res_h, mnx[hot_mask], mxx[hot_mask], mny[hot_mask],
-                    mxy[hot_mask], rows[hot_mask], extent=extent,
-                )
-                self.hot_members = rows[hot_mask]
-                self._hot_bbox = self._occupied_bbox(self.hot_buckets)
-                # per-k dominance-truncated hot levels (see _hot_level)
-                self._hot_k_cache = {}
+
     @property
     def size(self) -> int:
         return len(self.ids)
@@ -282,8 +321,8 @@ class GridKnn:
         else:
             rows_k = np.sort(rows[order][keep])
             xk, yk = self.g["x"][rows_k], self.g["y"][rows_k]
-            b = _Buckets(self._hot_res, xk, xk, yk, yk, rows_k,
-                         extent=self._hot_extent)
+            b = _Buckets.from_points(self._hot_res, xk, yk, rows_k,
+                                     extent=self._hot_extent)
             got = (b, rows_k, self._occupied_bbox(b))
         self._hot_k_cache[kk] = got
         return got
