@@ -322,6 +322,45 @@ def _q_pip_docs(sf_dir: str):
     )
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Raster<->vector zonal statistics: per polygon, the doc count and
+    total n_chars of contained docs — the north rule's "rasterize ->
+    join via groupby-aggregate over cell keys" composition.  Pair
+    emission reuses the PIP raster+refine actor; aggregates are
+    pre-combined inside map_batches so the groupby ships one row per
+    (block, polygon), not one per contained doc."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+    from .stages import pip
+
+    keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey"]).column("n_nationkey").to_numpy()
+    ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    pairs = tables.docs_geo(sf_dir, extra_columns=("n_chars",)).map_batches(
+        pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"poly_ref": ref, "res": RES,
+                               "carry": ("doc_id", "n_chars")},
+        concurrency=actor_pool(), batch_size=4096,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("polygon_id").to_numpy()
+        nch = batch.column("n_chars").to_numpy()
+        uniq, inv = np.unique(pid, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        # n_chars are small ints: float64 bincount weights are exact
+        # far beyond their range (< 2^53)
+        tot = np.bincount(inv, weights=nch).astype(np.int64)
+        return pa.table({"polygon_id": pa.array(uniq),
+                         "n": pa.array(cnt), "chars": pa.array(tot)})
+
+    return pairs.map_batches(partial, batch_format="pyarrow").groupby(
+        "polygon_id").aggregate(Sum("n", alias_name="n_docs"),
+                                Sum("chars", alias_name="sum_chars"))
+
+
 def _q_token_count(sf_dir: str):
     from .sources import tables
     from .stages import text
@@ -1101,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "knn_docs_self": _q_knn_docs_self,
         "within_dist_pairs": _q_within_dist_pairs,
+        "zonal_stats": _q_zonal_stats,
         # relational / streaming breadth
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
@@ -1162,6 +1202,13 @@ def oracle_sql() -> dict[str, str]:
         "zone_contains_doc_shuffle": contains_sql,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),
+        "zonal_stats": f"""
+            SELECT p.polygon_id, COUNT(*) AS n_docs,
+                   CAST(SUM(doc.n_chars) AS BIGINT) AS sum_chars
+            FROM ({oracles.pip_docs_sql(docs, polys)}) p
+            JOIN documents doc ON p.doc_id = doc.doc_id
+            GROUP BY p.polygon_id
+        """,
         "lang_id": oracles.lang_id_sql(_LANG_PROFILES),
         "corpus_clean": oracles.corpus_clean_sql(_LANG_PROFILES),
         "sample_docs": """

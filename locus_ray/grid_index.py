@@ -494,6 +494,12 @@ class GridKnn:
         n = len(qx)
         min_cell = min(self.cell_w, self.cell_h)
         kk = min(k, self.size)
+        # deterministic per-call probe-cost counters: loop rounds and
+        # hot-dump fan-out.  Perf regression tests read these instead
+        # of wall time (this VM's clock lies by up to 60x) — the
+        # round-3 6x regression showed up here as rounds 2 -> 7 and
+        # dump_rows 0 -> ~1 per 4k probes long before any bench ran
+        self.last_query_stats = stats = {"rounds": 0, "dump_rows": 0}
 
         best_id = np.full((n, k), -1, dtype=np.int64)
         best_d = np.full((n, k), np.inf, dtype=np.float64)
@@ -627,6 +633,7 @@ class GridKnn:
         r_prev = -1
         r_new = min(first_ring, axis)
         while len(active):
+            stats["rounds"] += 1
             adv_idx = np.nonzero(~main_frozen[active])[0]
             offs = _annulus_offsets(r_prev, r_new)
             rows = np.repeat(adv_idx, len(offs))
@@ -668,6 +675,7 @@ class GridKnn:
                     q_row = np.concatenate((q_row, drws))
                     pos = np.concatenate((pos, dps))
                     hot_dumped = True
+                    stats["dump_rows"] += len(ridx)
                 elif hr_new > hot_r_prev:
                     if len(ridx):
                         ar = active[ridx]

@@ -214,3 +214,41 @@ def test_segseg_k_exceeds_build_size():
                      np.array([6.0]), np.array([5.5]), 5)
     assert set(bi[0][bi[0] >= 0]) == {7, 9}
     assert (bi[0] >= 0).sum() == 2
+
+
+def test_near_cluster_queries_retire_without_dump():
+    """Perf-invariant regression test for the round-3 hot-path bug:
+    probes just OUTSIDE the hot-member bbox must retire through ring
+    coverage (triangle bound max(hd, r*min_cell - hd)) — never by
+    exhausting the ring cap into the bounded all-members dump.
+    Checked via the deterministic last_query_stats counters, not wall
+    time."""
+    rng = np.random.default_rng(77)
+    n_hot, n_cold = 30_000, 3_000
+    # tight cluster in [0, 1]^2, sparse background elsewhere
+    hx = rng.uniform(0.0, 1.0, n_hot)
+    hy = rng.uniform(0.0, 1.0, n_hot)
+    cx = rng.uniform(-170, 170, n_cold)
+    cy = rng.uniform(-85, 85, n_cold)
+    x = np.concatenate((hx, cx))
+    y = np.concatenate((hy, cy))
+    ids = np.arange(n_hot + n_cold, dtype=np.int64)
+    g = GridKnn("point", {"x": x, "y": y}, ids, 8)
+    assert g.hot_buckets is not None
+    # probe a ring of points just outside the hot bbox (within ~one
+    # in-cluster neighbor distance of the boundary on every side)
+    t = rng.uniform(0.0, 1.0, 256)
+    eps = 0.003
+    qx = np.concatenate((t, t, np.full(256, -eps), np.full(256, 1 + eps)))
+    qy = np.concatenate((np.full(256, -eps), np.full(256, 1 + eps), t, t))
+    got_ids, got_d2 = g.query(qx, qy, 3)
+    assert g.last_query_stats["dump_rows"] == 0
+    assert g.last_query_stats["rounds"] <= 4
+    # exactness vs brute force on a subset
+    sub = rng.integers(0, len(qx), 40)
+    dx = x[None, :] - qx[sub][:, None]
+    dy = y[None, :] - qy[sub][:, None]
+    dd = dx * dx + dy * dy
+    order = np.lexsort((np.broadcast_to(ids, dd.shape), dd), axis=1)[:, :3]
+    assert np.array_equal(got_ids[sub], ids[order])
+    assert np.array_equal(got_d2[sub], np.take_along_axis(dd, order, axis=1))
