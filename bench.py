@@ -246,11 +246,26 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
     levels sample the same contention regimes; the minimum is the
     least-contended estimate of each level's true cost.
     """
+    def probe() -> int:
+        """Single-core numpy throughput (element-ops/s) sampled around
+        each run — this VM's compute collapses 15-60x for hours with
+        zero load (BASELINE.md box-state warning), so every wall-clock
+        number here is only interpretable next to its probe reading."""
+        import numpy as np
+        a = np.random.default_rng(0).uniform(size=8_400_000)
+        t0 = time.time()
+        for _ in range(5):
+            _ = a * a + a
+        return int(5 * 2 * len(a) / (time.time() - t0))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = probe()
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        r["box_probe_ops"] = p
+        return r
 
     lo, hi = 8, 32
     runs_lo, runs_hi = [], []
@@ -276,6 +291,8 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
         "reps_per_level": reps,
         "all_headline_8": [r["value"] for r in runs_lo],
         "all_headline_32": [r["value"] for r in runs_hi],
+        "box_probe_ops_8": [r["box_probe_ops"] for r in runs_lo],
+        "box_probe_ops_32": [r["box_probe_ops"] for r in runs_hi],
         "n_docs": N_DOCS,
     }
 
