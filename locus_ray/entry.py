@@ -652,6 +652,133 @@ def _q_within_dist_pairs(sf_dir: str):
     return within_distance_pairs(tables.docs_geo(sf_dir), radius=0.5)
 
 
+# eps for density clustering (world units) and the squared kth-NN
+# distance above which a doc counts as a spatial outlier; shared
+# verbatim with the SQL oracles below
+CLUSTER_EPS = 0.5
+OUTLIER_D2 = 9.0
+IDW_SCALE = 1.0e6
+IDW_VALUE_MOD = 1000
+
+
+def _q_spatial_clusters(sf_dir: str):
+    """Density clustering (DBSCAN-style single linkage at eps): docs
+    within ``CLUSTER_EPS`` of each other are edges; clusters are the
+    connected components (label = smallest doc id).  Isolated docs
+    (no neighbor within eps) are noise and emit no row.
+
+    Pure composition of two scale-shaped stages: the radius self-join
+    (one shuffle on radius-sized cells, pairs only ever span adjacent
+    cells) feeding distributed min-label propagation (one hash join +
+    Min aggregate per round, driver sees a convergence scalar only)."""
+    from .stages.dedup import connected_components
+
+    return connected_components(
+        _q_within_dist_pairs(sf_dir), a_col="id_a", b_col="id_b",
+        id_out="doc_id", comp_out="cluster")
+
+
+def _q_knn_outliers(sf_dir: str):
+    """kNN-distance outlier scores: per doc, the squared distance to
+    its rank-3 neighbor in the self-join (rank 1 is the doc itself),
+    flagged when above ``OUTLIER_D2``.  No extra shuffle: the kth row
+    is filtered out of the kNN stream block-locally (the self-join
+    emits each doc's k rows inside one block)."""
+
+    knn = _q_knn_docs_self(sf_dir)
+
+    def kth(batch: pa.Table) -> pa.Table:
+        rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+        m = rnk == 3
+        d2k = batch.column("d2").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "doc_id": pa.array(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)[m]),
+            "d2_k": pa.array(d2k),
+            "outlier": pa.array((d2k > OUTLIER_D2).astype(np.int64)),
+        })
+
+    return knn.map_batches(kth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_idw_interpolate(sf_dir: str):
+    """Inverse-distance-weighted interpolation at the query points:
+    value = sum(w_i * m_i) / sum(w_i) over the K_DOCS nearest docs,
+    with m = doc_id % IDW_VALUE_MOD as the per-doc measurement.
+
+    Float-parity discipline: weights are QUANTIZED to integers
+    (floor(IDW_SCALE / (1 + d2) + 0.5)) so the aggregation is exact
+    BIGINT sums — order-independent, immune to DuckDB's unspecified
+    SUM order — and the single final division is the only float op."""
+    from ray.data.aggregate import Sum
+
+    knn = _q_knn_docs(sf_dir)  # query_id, doc_id, rnk, d2
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.floor(IDW_SCALE / (1.0 + d2) + 0.5).astype(np.int64)
+        return pa.table({
+            "query_id": batch.column("query_id"),
+            "num": pa.array(w * (doc % IDW_VALUE_MOD)),
+            "den": pa.array(w),
+        })
+
+    agg = (
+        knn.map_batches(weigh, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .aggregate(Sum("num", alias_name="num"), Sum("den", alias_name="den"))
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        num = batch.column("num").to_numpy(zero_copy_only=False)
+        den = batch.column("den").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": batch.column("query_id"),
+            "idw_value": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+            "wsum": pa.array(den.astype(np.int64)),
+        })
+
+    return agg.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_tile_smooth(sf_dir: str):
+    """3x3 box-filter smoothed tile density (raster convolution as
+    scatter + groupby): every occupied cell scatters its count to the
+    9 cells of its neighborhood (border-clipped), one Sum groupby
+    re-collects.  Cells whose whole neighborhood is empty emit no row.
+
+    Scale shape: the scatter is a 9x fan-out of the ALREADY-aggregated
+    per-cell counts (tiny), not of the docs; the groupby moves at most
+    9 * occupied_cells rows."""
+    from ray.data.aggregate import Sum
+
+    counts = _q_tile_counts(sf_dir)  # cell_id, n_docs
+    axis = _AXIS
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        cx, cy = cid // axis, cid % axis
+        out_c, out_n = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = cx + dx, cy + dy
+                m = (nx >= 0) & (nx < axis) & (ny >= 0) & (ny < axis)
+                out_c.append(nx[m] * axis + ny[m])
+                out_n.append(n[m])
+        return pa.table({
+            "cell_id": pa.array(np.concatenate(out_c)),
+            "n_smooth": pa.array(np.concatenate(out_n).astype(np.int64)),
+        })
+
+    return (
+        counts.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_id")
+        .aggregate(Sum("n_smooth", alias_name="n_smooth"))
+    )
+
+
 def _events_keyed(sf_dir: str, num_partitions: int = 16):
     """Events log keyed by a user-hash partition column (the shared
     front end of the sessionize / as-of / range-join family)."""
@@ -1141,6 +1268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_docs_self": _q_knn_docs_self,
         "within_dist_pairs": _q_within_dist_pairs,
         "zonal_stats": _q_zonal_stats,
+        "spatial_clusters": _q_spatial_clusters,
+        "knn_outliers": _q_knn_outliers,
+        "idw_interpolate": _q_idw_interpolate,
+        "tile_smooth": _q_tile_smooth,
         # relational / streaming breadth
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
@@ -1239,6 +1370,64 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
                   <= {derive.F(0.25)}
+        """,
+        "spatial_clusters": f"""
+            WITH RECURSIVE d AS ({docs}),
+            p AS (
+              SELECT a.doc_id AS va, b.doc_id AS vb
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                    <= {derive.F(CLUSTER_EPS * CLUSTER_EPS)}
+            ),
+            e AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+            cc(node, lab) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.node
+            )
+            SELECT node AS doc_id, MIN(lab) AS cluster FROM cc GROUP BY node
+        """,
+        "knn_outliers": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT a.doc_id, b.doc_id AS neighbor_id,
+                       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+                       FROM d a CROSS JOIN d b),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT doc_id, d2 AS d2_k,
+                   CAST(d2 > {derive.F(OUTLIER_D2)} AS BIGINT) AS outlier
+            FROM ranked WHERE rnk = 3
+        """,
+        "idw_interpolate": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT qp.query_id, d.doc_id,
+                       (d.x - qp.qx) * (d.x - qp.qx) + (d.y - qp.qy) * (d.y - qp.qy) AS d2
+                       FROM d CROSS JOIN {qp}),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, doc_id) AS rnk
+                       FROM scored),
+            w AS (SELECT query_id,
+                         CAST(FLOOR({derive.F(IDW_SCALE)} / ({derive.F(1.0)} + d2) + {derive.F(0.5)}) AS BIGINT) AS wq,
+                         doc_id % {IDW_VALUE_MOD} AS m
+                  FROM ranked WHERE rnk <= {workload.K_DOCS})
+            SELECT query_id,
+                   CAST(SUM(wq * m) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE) AS idw_value,
+                   CAST(SUM(wq) AS BIGINT) AS wsum
+            FROM w GROUP BY query_id
+        """,
+        "tile_smooth": f"""
+            WITH g AS ({_sql_grid()}),
+            t AS (SELECT (ix // {_SHIFT_DIV}) * {_AXIS} + (iy // {_SHIFT_DIV}) AS cell_id,
+                         COUNT(*) AS n_docs
+                  FROM g GROUP BY 1),
+            c AS (SELECT cell_id // {_AXIS} AS cx, cell_id % {_AXIS} AS cy, n_docs FROM t),
+            o AS (SELECT dx - 1 AS dx, dy - 1 AS dy
+                  FROM range(3) r1(dx) CROSS JOIN range(3) r2(dy))
+            SELECT (c.cx + o.dx) * {_AXIS} + (c.cy + o.dy) AS cell_id,
+                   CAST(SUM(c.n_docs) AS BIGINT) AS n_smooth
+            FROM c CROSS JOIN o
+            WHERE c.cx + o.dx BETWEEN 0 AND {_AXIS - 1}
+              AND c.cy + o.dy BETWEEN 0 AND {_AXIS - 1}
+            GROUP BY 1
         """,
         "find_box_docs": f"""
             WITH d AS ({docs})

@@ -422,3 +422,115 @@ def test_within_distance_pairs_vs_brute_force(ray_session):
     assert (0, 1, r * r) in want and (3, 4, d2[3, 4]) in want
     assert not any(p[:2] == (0, 2) for p in want)
     assert got == want
+
+
+def test_spatial_clusters_vs_union_find(ray_session):
+    """Density clustering gate matches a driver-side union-find over
+    the eps-graph of the derived doc coordinates."""
+    import pyarrow.parquet as pq
+
+    from locus_ray import derive
+    from locus_ray.entry import CLUSTER_EPS, _q_spatial_clusters
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    x, y = derive.doc_xy(ids)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    a, b = np.nonzero((d2 <= CLUSTER_EPS**2) & (ids[:, None] < ids[None, :]))
+
+    parent = {}
+
+    def find(u):
+        while parent.setdefault(u, u) != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for ia, ib in zip(ids[a], ids[b]):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {u: find(u) for u in parent}
+
+    out = _q_spatial_clusters(SF).to_pandas()
+    assert dict(zip(out.doc_id, out.cluster)) == want
+
+
+def test_knn_outliers_vs_brute_force(ray_session):
+    """Outlier score = squared distance to the rank-3 self-join
+    neighbor (rank 1 is self), bit-exact vs numpy."""
+    import pyarrow.parquet as pq
+
+    from locus_ray import derive
+    from locus_ray.entry import OUTLIER_D2, _q_knn_outliers
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    x, y = derive.doc_xy(ids)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    want = {}
+    for i, di in enumerate(zip(d2, ids)):
+        row, _ = di
+        order = np.lexsort((ids, row))
+        kth = row[order[2]]
+        want[int(ids[i])] = (kth, int(kth > OUTLIER_D2))
+
+    out = _q_knn_outliers(SF).to_pandas()
+    got = {int(r.doc_id): (r.d2_k, int(r.outlier)) for r in out.itertuples()}
+    assert got == want
+
+
+def test_idw_interpolate_vs_brute_force(ray_session):
+    """IDW gate: integer-quantized weights over the K_DOCS nearest
+    docs reproduce the numpy ratio exactly."""
+    import pyarrow.parquet as pq
+
+    from locus_ray import derive, workload
+    from locus_ray.entry import IDW_SCALE, IDW_VALUE_MOD, _q_idw_interpolate
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    x, y = derive.doc_xy(ids)
+    want = {}
+    for q, qx, qy in zip(workload.QUERY_POINTS["query_id"],
+                         workload.QUERY_POINTS["x"], workload.QUERY_POINTS["y"]):
+        d2 = (x - qx) ** 2 + (y - qy) ** 2
+        order = np.lexsort((ids, d2))[: workload.K_DOCS]
+        w = np.floor(IDW_SCALE / (1.0 + d2[order]) + 0.5).astype(np.int64)
+        m = ids[order] % IDW_VALUE_MOD
+        want[int(q)] = (float((w * m).sum()) / float(w.sum()), int(w.sum()))
+
+    out = _q_idw_interpolate(SF).to_pandas()
+    got = {int(r.query_id): (r.idw_value, int(r.wsum)) for r in out.itertuples()}
+    assert got == want
+
+
+def test_tile_smooth_vs_shifted_histogram(ray_session):
+    """3x3 smoothed tile density equals the sum of 9 shifted copies of
+    the 2D cell histogram (zero-neighborhood cells emit no row)."""
+    import pyarrow.parquet as pq
+
+    from locus_ray import cells, derive
+    from locus_ray.entry import RES, _q_tile_smooth
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    x, y = derive.doc_xy(ids)
+    cid = cells.cell_id(x, y, RES)
+    axis = 1 << RES
+    hist = np.zeros((axis, axis), dtype=np.int64)
+    np.add.at(hist, (cid // axis, cid % axis), 1)
+    smooth = np.zeros_like(hist)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            src = hist[max(-dx, 0): axis - max(dx, 0),
+                       max(-dy, 0): axis - max(dy, 0)]
+            smooth[max(dx, 0): axis - max(-dx, 0),
+                   max(dy, 0): axis - max(-dy, 0)] += src
+
+    out = _q_tile_smooth(SF).to_pandas()
+    got = dict(zip(out.cell_id, out.n_smooth))
+    nz = np.nonzero(smooth)
+    want = {int(cx * axis + cy): int(smooth[cx, cy])
+            for cx, cy in zip(*nz)}
+    assert got == want
