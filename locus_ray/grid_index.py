@@ -45,7 +45,17 @@ from .kernels import (
 )
 
 LARGE_COVER_CELLS = 64    # cover bigger than this -> dense side
-HOT_CELL_MEMBERS = 512    # point cells denser than this -> local sub-buckets
+# Point cells denser than this move to the cluster-local fine level.
+# The bucket res targets ~1-2 members/cell, so 128 is still ~100x over
+# target — far above any uniform-density fluctuation — while catching
+# the hot-cluster FRINGE cells (129-512 members) that the round-3
+# value of 512 left in the cold buckets: those made every in-cluster
+# query gather its whole neighborhood at fringe density (measured on
+# the 1M bench corpus, k=4: cluster queries scored 344 main-ring
+# candidates/query at 512 vs 2.8 at 128 with the excess moving to the
+# self-paced fine level at ~44/query; overall candidate volume 113 ->
+# 42 per query, interleaved same-process wall ratio 1.86x).
+HOT_CELL_MEMBERS = 128
 HOT_RING_CAP = 64         # fine-level ring cap before the bounded dump
 
 
@@ -499,7 +509,15 @@ class GridKnn:
         # of wall time (this VM's clock lies by up to 60x) — the
         # round-3 6x regression showed up here as rounds 2 -> 7 and
         # dump_rows 0 -> ~1 per 4k probes long before any bench ran
-        self.last_query_stats = stats = {"rounds": 0, "dump_rows": 0}
+        self.last_query_stats = stats = {
+            "rounds": 0, "dump_rows": 0,
+            # scored-pairs breakdown (d2 kernel evaluations by source)
+            # — the load-independent cost model the box-state protocol
+            # requires (BASELINE.md): wall time on this VM lies, these
+            # don't.  scored = fast + main + hot + dump + dense.
+            "scored_fast": 0, "scored_main": 0, "scored_hot": 0,
+            "scored_dump": 0, "scored_dense": 0, "merge_rows": 0,
+        }
 
         best_id = np.full((n, k), -1, dtype=np.int64)
         best_d = np.full((n, k), np.inf, dtype=np.float64)
@@ -560,6 +578,7 @@ class GridKnn:
                     u_infl = (np.sqrt(u_pt) + 1e-4) ** 2
                     pre = d32 <= u_infl[q_row]
                     q_row, pos = q_row[pre], pos[pre]
+                stats["scored_fast"] += len(pos)
                 d2 = self._score(pos, qx[q_row], qy[q_row])
                 within = d2 <= u_pt[q_row]
                 q_row, pos, d2 = q_row[within], pos[within], d2[within]
@@ -644,6 +663,7 @@ class GridKnn:
             cell_ids = ccx[valid] * axis + ccy[valid]
             src, pos = self.buckets.lookup(cell_ids)
             q_row = rows[src]
+            stats["scored_main"] += len(pos)
 
             if not hot_dumped:
                 # the hot level advances at its own geometric pace; the
@@ -676,6 +696,7 @@ class GridKnn:
                     pos = np.concatenate((pos, dps))
                     hot_dumped = True
                     stats["dump_rows"] += len(ridx)
+                    stats["scored_dump"] += len(dps)
                 elif hr_new > hot_r_prev:
                     if len(ridx):
                         ar = active[ridx]
@@ -690,6 +711,7 @@ class GridKnn:
                         hsrc, hpos = hot.lookup(hcells)
                         q_row = np.concatenate((q_row, ridx[hrows[hsrc]]))
                         pos = np.concatenate((pos, hpos))
+                        stats["scored_hot"] += len(hpos)
                     hot_r_prev = hr_new
 
             if dense_filtered and r_prev == -1:
@@ -715,6 +737,7 @@ class GridKnn:
                 )
                 q_row = np.concatenate((q_row, drows))
                 pos = np.concatenate((pos, dpos))
+                stats["scored_dense"] += len(dpos)
 
             if len(pos):
                 ax = qx[active]
@@ -730,6 +753,7 @@ class GridKnn:
                         q_row = q_row[within]
                         pos = pos[within]
                         d2 = d2[within]
+                stats["merge_rows"] += len(pos)
                 cand_ids = self.ids[pos]
                 cur_rows = np.repeat(np.arange(len(active), dtype=np.int64), n_found[active])
                 cur_mask = best_id[active] >= 0
