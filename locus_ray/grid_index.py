@@ -461,6 +461,7 @@ class GridKnn:
             z_mxy = self.g["max_y"]
             members = []
             cells_of = []
+            fulls = []
             chunk = max(1, 8_388_608 // max(n, 1))
             for s in range(0, n_cells, chunk):
                 e = min(s + chunk, n_cells)
@@ -472,8 +473,39 @@ class GridKnn:
                 r, cpos = np.nonzero(dmin <= u_all[s:e, None])
                 cells_of.append(r + s)
                 members.append(cpos)
+                fulls.append((z_mnx[cpos] <= c_mnx[r + s])
+                             & (z_mxx[cpos] >= c_mxx[r + s])
+                             & (z_mny[cpos] <= c_mny[r + s])
+                             & (z_mxy[cpos] >= c_mxy[r + s]))
             cells_flat = np.concatenate(cells_of)
             memb_flat = np.concatenate(members)
+            full_flat = np.concatenate(fulls)
+            # ID-DOMINANCE truncation of FULL-COVER zones: a zone that
+            # fully covers a cell is at distance 0 from EVERY in-cell
+            # point (any metric), so among full-cover zones only the k
+            # smallest-id ones can appear in any in-cell top-k (ties
+            # break on smallest id) — a full-cover zone in a point's
+            # top-k has, by the zero-tie order, fewer than k smaller-id
+            # full-cover zones above it.  Heavily-overlapping zone
+            # layers (the fixture averages ~31 containing zones per
+            # doc, all d2 == 0) are IRREDUCIBLE by distance bounds but
+            # collapse under this rule: measured list length 46.5 ->
+            # ~boundary+k per cell at 20k zones / f_res 6.  Partial-
+            # cover zones are never dropped.
+            if full_flat.any():
+                ids_flat = self.ids[memb_flat]
+                fi = np.nonzero(full_flat)[0]
+                forder = np.lexsort((ids_flat[fi], cells_flat[fi]))
+                oc = cells_flat[fi][forder]
+                newc = np.concatenate(([True], oc[1:] != oc[:-1]))
+                frank = (np.arange(len(oc), dtype=np.int64)
+                         - np.flatnonzero(newc)[np.cumsum(newc) - 1])
+                drop = fi[forder[frank >= k]]
+                if len(drop):
+                    keep_m = np.ones(len(memb_flat), dtype=bool)
+                    keep_m[drop] = False
+                    cells_flat = cells_flat[keep_m]
+                    memb_flat = memb_flat[keep_m]
             counts = np.bincount(cells_flat, minlength=n_cells)
             self._df_offsets = np.concatenate(([0], np.cumsum(counts)))
             self._df_members = memb_flat
