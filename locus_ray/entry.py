@@ -1202,6 +1202,77 @@ def _q_media_frames(sf_dir: str):
                                       op="frame_sample")
 
 
+# docs in the synthetic interleaved corpus the span gates run over
+# (mirrors flagship_spans' fixed n_docs — the corpus is derived from
+# ids, not from sf_dir tables, so the gates are sf-invariant)
+_SPAN_DOCS = 1000
+
+
+def _q_span_stats(sf_dir: str):
+    """Per-doc structure stats of the interleaved span sequences:
+    span count, text-span count, total text chars.  ROW-LOCAL
+    vectorized decode of the ``list<struct>`` column (ListArray
+    offsets + flattened child fields + bincount) — no explode, no
+    shuffle; the natural first stage of any span-aware corpus scan."""
+    import pyarrow.compute as pc
+
+    from .sources.synth import interleaved_docs
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = len(batch)
+        n_spans = spans.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        parent = np.repeat(np.arange(n, dtype=np.int64), n_spans)
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        tl = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_key": batch.column("doc_key"),
+            "n_spans": pa.array(n_spans),
+            "n_text": pa.array(np.bincount(
+                parent, weights=is_text, minlength=n).astype(np.int64)),
+            "text_chars": pa.array(np.bincount(
+                parent, weights=tl, minlength=n).astype(np.int64)),
+        })
+
+    return interleaved_docs(_SPAN_DOCS).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_span_texts(sf_dir: str):
+    """Interleaved -> flat TEXT-span stream with in-doc positions
+    preserved (the explode side of the span-sequence invariant):
+    one row per text span, ``span_pos`` = its index in the original
+    sequence.  Vectorized: ListArray offsets give parent/position,
+    Arrow filter does the projection — no Python over rows."""
+    import pyarrow.compute as pc
+
+    from .sources.synth import interleaved_docs
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = len(batch)
+        n_spans = spans.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()
+        starts = np.concatenate(([0], np.cumsum(n_spans)[:-1]))
+        parent = np.repeat(np.arange(n, dtype=np.int64), n_spans)
+        local = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(starts, n_spans)
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        keys = batch.column("doc_key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_key": pa.array(keys[parent][is_text]),
+            "span_pos": pa.array(local[is_text]),
+            "text": flat.field("text").filter(pa.array(is_text)),
+        })
+
+    return interleaved_docs(_SPAN_DOCS).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_flagship_spans(sf_dir: str):
     from .pipelines import flagship
 
@@ -1266,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
         "knn_docs_self": _q_knn_docs_self,
+        "span_stats": _q_span_stats,
+        "span_texts": _q_span_texts,
         "within_dist_pairs": _q_within_dist_pairs,
         "zonal_stats": _q_zonal_stats,
         "spatial_clusters": _q_spatial_clusters,
@@ -1347,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 < 100000
         """,
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
+        "span_stats": oracles.span_stats_sql(_SPAN_DOCS),
+        "span_texts": oracles.span_texts_sql(_SPAN_DOCS),
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
         "embed_dup_pairs_lsh": oracles.embed_dup_pairs_lsh_sql(

@@ -225,6 +225,51 @@ def flagship_spans_sql(n_docs: int, k: int) -> str:
     """
 
 
+def _span_cte(n_docs: int) -> str:
+    """Re-derive the synthetic interleaved span stream in SQL
+    (sources/synth.spans_for bit-for-bit): one row per (doc id, span
+    local index) with the span's kind code and text length."""
+    vocab = ("the quick spatial index tile shard merge stream corpus span "
+             "media query nearest join cell hilbert range batch arrow "
+             "vector").split()
+    voc = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    nv = len(vocab)
+    return f"""
+    ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS id),
+    s AS (SELECT id,
+                 unnest(generate_series(0, CAST((id * 2654435761) % 8 AS INT))) AS local
+          FROM ids),
+    sp AS (SELECT id, local, (id * 7 + local * 3) % 4 AS kc,
+                  CASE WHEN (id * 7 + local * 3) % 4 = 0 THEN
+                    {voc}[CAST((id * 13 + local * 5) % {nv} AS INT) + 1]
+                    || ' ' ||
+                    {voc}[CAST((id * 17 + local * 11) % {nv} AS INT) + 1]
+                  ELSE '' END AS text
+           FROM s)
+    """
+
+
+def span_stats_sql(n_docs: int) -> str:
+    """Per-doc interleaved-structure stats (mirrors entry._q_span_stats)."""
+    return f"""
+    WITH {_span_cte(n_docs)}
+    SELECT id AS doc_key,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN kc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars
+    FROM sp GROUP BY id
+    """
+
+
+def span_texts_sql(n_docs: int) -> str:
+    """Flat text-span stream with in-doc positions (entry._q_span_texts)."""
+    return f"""
+    WITH {_span_cte(n_docs)}
+    SELECT id AS doc_key, local AS span_pos, text
+    FROM sp WHERE kc = 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # tile_index_stats — packed-R-tree structural metrics from group size
 # ---------------------------------------------------------------------------

@@ -534,3 +534,29 @@ def test_tile_smooth_vs_shifted_histogram(ray_session):
     want = {int(cx * axis + cy): int(smooth[cx, cy])
             for cx, cy in zip(*nz)}
     assert got == want
+
+
+def test_span_gates_vs_pylist_brute_force(ray_session):
+    """span_stats / span_texts match a per-row to_pylist re-derivation
+    of the same interleaved corpus (independent of the vectorized
+    ListArray-offset decode)."""
+    from locus_ray.entry import _SPAN_DOCS, _q_span_stats, _q_span_texts
+    from locus_ray.sources.synth import spans_for
+
+    ids = np.arange(_SPAN_DOCS, dtype=np.int64)
+    rows = spans_for(ids).to_pylist()
+    want_stats = {}
+    want_texts = []
+    for did, spans in zip(ids, rows):
+        texts = [(i, s["text"]) for i, s in enumerate(spans) if s["kind"] == "text"]
+        want_stats[int(did)] = (len(spans), len(texts),
+                                sum(len(t) for _, t in texts))
+        want_texts += [(int(did), i, t) for i, t in texts]
+
+    got_stats = {int(r.doc_key): (int(r.n_spans), int(r.n_text), int(r.text_chars))
+                 for r in _q_span_stats("").to_pandas().itertuples()}
+    assert got_stats == want_stats
+
+    got_texts = sorted((int(r.doc_key), int(r.span_pos), r.text)
+                       for r in _q_span_texts("").to_pandas().itertuples())
+    assert got_texts == sorted(want_texts)
