@@ -174,6 +174,33 @@ def _q_zone_contains_doc_shuffle(sf_dir: str):
     )
 
 
+def _q_docs_outside_zones(sf_dir: str):
+    """Spatial ANTI-join: docs contained by NO zone (block-local NOT
+    EXISTS against the broadcast zone index — the emit side of the
+    contain lookup inverts, no extra shuffle)."""
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(tables.zones_payload(sf_dir))
+    return tables.docs_geo(sf_dir).map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"zones_ref": ref, "res": RES, "anti": True},
+        concurrency=actor_pool(), batch_size=4096,
+    )
+
+
+def _q_zone_overlap_pairs(sf_dir: str):
+    """Box-box spatial join: all strictly-overlapping zone pairs
+    (P2 semantics) via cell-cover explode + min-corner dedup
+    (stages/partitioned.box_overlap_pairs)."""
+    from .sources import tables
+    from .stages.partitioned import box_overlap_pairs
+
+    return box_overlap_pairs(tables.zones_ds(sf_dir), res=6)
+
+
 def _q_find_box_docs(sf_dir: str):
     from .sources import tables
     from .stages import spatial
@@ -1300,6 +1327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_rank": _q_hilbert_rank,
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
+        "docs_outside_zones": _q_docs_outside_zones,
+        "zone_overlap_pairs": _q_zone_overlap_pairs,
         "find_box_docs": _q_find_box_docs,
         "zone_subsets": _q_zone_subsets,
         "zone_supersets": _q_zone_supersets,
@@ -1404,6 +1433,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zone_contains_doc": contains_sql,
         "zone_contains_doc_shuffle": contains_sql,
+        "docs_outside_zones": f"""
+            WITH d AS ({docs}), z AS ({zones})
+            SELECT d.doc_id FROM d WHERE NOT EXISTS (
+              SELECT 1 FROM z
+              WHERE d.x >= z.min_x AND d.x <= z.max_x
+                AND d.y >= z.min_y AND d.y <= z.max_y)
+        """,
+        "zone_overlap_pairs": f"""
+            WITH z AS ({zones})
+            SELECT a.zone_id AS id_a, b.zone_id AS id_b
+            FROM z a JOIN z b ON a.zone_id < b.zone_id
+            WHERE a.min_x < b.max_x AND b.min_x < a.max_x
+              AND a.min_y < b.max_y AND b.min_y < a.max_y
+        """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),
         "zonal_stats": f"""

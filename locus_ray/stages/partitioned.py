@@ -485,3 +485,90 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
                               zero_copy_batch=True)
     return exploded.groupby("cell").map_groups(
         pairs_of_group, batch_format="pyarrow")
+
+
+def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
+    """All unordered STRICTLY-overlapping box pairs (interiors
+    intersect — kernels.overlaps / P2 semantics): ``(id_a, id_b)``
+    with ``id_a < id_b``.  The box-box spatial join (the reference's
+    tree-vs-tree analog of R4, distributed).
+
+    Shuffle shape, one exchange: each box explodes to its cell cover
+    at ``res``; overlapping boxes share every cell their intersection
+    covers, so the pair is found in any of them — the classic
+    MIN-CORNER dedup rule emits it only in the ONE cell holding the
+    intersection rectangle's (xlo, ylo) corner (both boxes cover that
+    cell by construction, and the world-clamp applied to the corner is
+    the same clamp the cover uses, so clipped geometry still lands the
+    pair exactly once).  Per group, one vectorized m x m strict-
+    overlap matrix — no dedup shuffle, no global sort.
+
+    Skew: a box wider than LARGE_COVER_CELLS-style limits explodes to
+    many cells; at corpus scale the oversized 2% would ride a
+    broadcast side exactly like contain_join_partitioned's hybrid
+    split (same caveat as documented there) — at the gate scales the
+    full explode is cheap.
+    """
+    from ..config import WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
+
+    axis = 1 << res
+
+    def cell_floor(v: np.ndarray, lo: float, span: float) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / span * axis), 0, axis - 1
+                       ).astype(np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        cx_lo = cell_floor(mnx, WORLD_MIN_X, WORLD_W)
+        cx_hi = cell_floor(mxx, WORLD_MIN_X, WORLD_W)
+        cy_lo = cell_floor(mny, WORLD_MIN_Y, WORLD_H)
+        cy_hi = cell_floor(mxy, WORLD_MIN_Y, WORLD_H)
+        nx = cx_hi - cx_lo + 1
+        ny = cy_hi - cy_lo + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        ny_r = np.repeat(ny, counts)
+        gx = np.repeat(cx_lo, counts) + local // ny_r
+        gy = np.repeat(cy_lo, counts) + local % ny_r
+        return pa.table({
+            "cell": gx * axis + gy,
+            id_col: pa.array(ids[rep]),
+            "min_x": pa.array(mnx[rep]), "max_x": pa.array(mxx[rep]),
+            "min_y": pa.array(mny[rep]), "max_y": pa.array(mxy[rep]),
+        })
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        cell = int(batch.column("cell")[0].as_py())
+        # strict interior overlap, upper triangle only
+        hit = ((mnx[:, None] < mxx[None, :]) & (mnx[None, :] < mxx[:, None])
+               & (mny[:, None] < mxy[None, :]) & (mny[None, :] < mxy[:, None])
+               & (np.arange(len(ids))[:, None] < np.arange(len(ids))[None, :]))
+        a, b = np.nonzero(hit)
+        # min-corner dedup: keep the pair iff the intersection's low
+        # corner falls in THIS cell (same clamp as the cover build)
+        xlo = np.maximum(mnx[a], mnx[b])
+        ylo = np.maximum(mny[a], mny[b])
+        home = (cell_floor(xlo, WORLD_MIN_X, WORLD_W) * axis
+                + cell_floor(ylo, WORLD_MIN_Y, WORLD_H))
+        keep = home == cell
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return exploded.groupby("cell").map_groups(
+        pairs_of_group, batch_format="pyarrow")

@@ -67,21 +67,34 @@ def assign_tiles(ds, res: int = DEFAULT_CELL_RES, x_col: str = "x", y_col: str =
 
 class ContainJoinActor:
     """Actor-pool stage: emit (carry columns + zone_id) for every
-    broadcast zone box containing the row's point (closed semantics)."""
+    broadcast zone box containing the row's point (closed semantics).
+
+    ``anti=True`` flips it into the spatial ANTI-join: emit the carry
+    columns of rows contained by NO zone (block-local NOT EXISTS —
+    the index lookup is the same, only the emit side inverts, so no
+    extra shuffle or second pass)."""
 
     def __init__(self, zones_ref, res: int, x_col: str = "x", y_col: str = "y",
-                 carry: tuple[str, ...] = ("doc_id",), id_out: str = "zone_id"):
+                 carry: tuple[str, ...] = ("doc_id",), id_out: str = "zone_id",
+                 anti: bool = False):
         zones = ray.get(zones_ref) if isinstance(zones_ref, ray.ObjectRef) else zones_ref
         self.index = GridContain(
             {k: zones[k] for k in ("min_x", "max_x", "min_y", "max_y")},
             zones["ids"], res,
         )
         self.x_col, self.y_col, self.carry, self.id_out = x_col, y_col, carry, id_out
+        self.anti = anti
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qx = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         qy = batch.column(self.y_col).to_numpy(zero_copy_only=False)
         src, zone_id = self.index.query(qx, qy)
+        if self.anti:
+            outside = np.ones(len(batch), dtype=bool)
+            outside[src] = False
+            rows = np.nonzero(outside)[0]
+            return pa.table(
+                {c: batch.column(c).take(pa.array(rows)) for c in self.carry})
         cols = {c: batch.column(c).take(pa.array(src)) for c in self.carry}
         cols[self.id_out] = pa.array(zone_id)
         return pa.table(cols)

@@ -560,3 +560,76 @@ def test_span_gates_vs_pylist_brute_force(ray_session):
     got_texts = sorted((int(r.doc_key), int(r.span_pos), r.text)
                        for r in _q_span_texts("").to_pandas().itertuples())
     assert got_texts == sorted(want_texts)
+
+
+def test_box_overlap_pairs_vs_brute_force(ray_session):
+    """Box-box overlap join matches an O(n^2) strict-overlap brute
+    force, including edge-sharing pairs (excluded — strict P2),
+    nested boxes (included), and pairs whose intersection straddles
+    cell boundaries (min-corner dedup emits exactly once)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.partitioned import box_overlap_pairs
+
+    rng = np.random.default_rng(21)
+    n = 300
+    cx = rng.uniform(-160, 160, n)
+    cy = rng.uniform(-80, 80, n)
+    hw = rng.uniform(0.5, 12.0, n)
+    hh = rng.uniform(0.5, 8.0, n)
+    mnx, mxx = cx - hw, cx + hw
+    mny, mxy = cy - hh, cy + hh
+    # planted: an edge-sharing pair (strict -> excluded) and a nested pair
+    mnx[0], mxx[0], mny[0], mxy[0] = 0.0, 10.0, 0.0, 10.0
+    mnx[1], mxx[1], mny[1], mxy[1] = 10.0, 20.0, 0.0, 10.0   # shares x edge
+    mnx[2], mxx[2], mny[2], mxy[2] = 2.0, 3.0, 2.0, 3.0      # nested in 0
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "zone_id": pa.array(ids),
+        "min_x": pa.array(mnx), "max_x": pa.array(mxx),
+        "min_y": pa.array(mny), "max_y": pa.array(mxy),
+    }))
+    out = box_overlap_pairs(ds, res=6).to_pandas()
+    got = sorted(zip(out.id_a, out.id_b))
+    assert len(got) == len(set(got))  # min-corner dedup: no double emits
+
+    hit = ((mnx[:, None] < mxx[None, :]) & (mnx[None, :] < mxx[:, None])
+           & (mny[:, None] < mxy[None, :]) & (mny[None, :] < mxy[:, None])
+           & (ids[:, None] < ids[None, :]))
+    a, b = np.nonzero(hit)
+    want = sorted(zip(ids[a], ids[b]))
+    assert (0, 2) in want and (0, 1) not in want
+    assert got == want
+
+
+def test_contain_anti_join_vs_brute_force(ray_session):
+    """anti=True emits exactly the rows contained by no zone."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from locus_ray.stages import spatial
+
+    rng = np.random.default_rng(22)
+    n = 2000
+    x = rng.uniform(-180, 180, n)
+    y = rng.uniform(-90, 90, n)
+    zid = np.arange(40, dtype=np.int64)
+    zx = rng.uniform(-170, 150, 40)
+    zy = rng.uniform(-80, 70, 40)
+    zones = {"ids": zid, "min_x": zx, "max_x": zx + 25.0,
+             "min_y": zy, "max_y": zy + 12.0}
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                                 "x": pa.array(x), "y": pa.array(y)}))
+    ref = ray.put(zones)
+    out = ds.map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"zones_ref": ref, "res": 6, "anti": True},
+        concurrency=1, batch_size=512,
+    ).to_pandas()
+    inside = ((x[:, None] >= zones["min_x"][None, :])
+              & (x[:, None] <= zones["max_x"][None, :])
+              & (y[:, None] >= zones["min_y"][None, :])
+              & (y[:, None] <= zones["max_y"][None, :])).any(axis=1)
+    assert sorted(out.doc_id) == sorted(np.nonzero(~inside)[0].tolist())
