@@ -311,19 +311,32 @@ def simhash(ds, text_col: str = "text"):
 
 def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
                          id_out: str = "doc_id", comp_out: str = "component",
-                         max_rounds: int = 64, num_partitions: int = 16):
+                         max_rounds: int = 64, num_partitions: int = 16,
+                         small_graph_limit: int = 100_000):
     """Duplicate-cluster resolution: connected components over near-dup
     pairs via iterative MIN-label propagation — turns any pair stream
     (MinHash / SimHash / embedding) into a per-doc keep verdict
     (``component`` = smallest id in the cluster; keep iff id ==
     component).
 
-    Every round is fully distributed (one hash join + two Min
-    aggregates over (node, label) rows); the driver only compares a
-    single convergence scalar between rounds.  Labels are
-    monotonically non-increasing, so the label SUM strictly decreases
-    until the fixed point — rounds needed ~ component diameter, which
-    for star-linked LSH pair streams is O(log clusters) in practice.
+    Every round is fully distributed (one hash join and a PATH-HALVING
+    hop — labels joined against themselves so each node also adopts
+    its label's label — then one Min aggregate over (node, label)
+    rows); the driver only compares a single convergence scalar
+    between rounds.  Labels are monotonically non-increasing, so the
+    label SUM strictly decreases until the fixed point.  With the hop,
+    label distance to the component minimum HALVES per round on top of
+    the neighbor step, so rounds ~ O(log diameter) — a chain-shaped
+    pair stream (geo clusters from within_distance_pairs can be pure
+    chains) of length 10^6 converges in ~20 rounds where plain
+    neighbor propagation needs 10^6.
+
+    Graphs at or under ``small_graph_limit`` edges resolve DRIVER-SIDE
+    with union-find instead (16 B/edge — the same small-side-broadcast
+    hybrid the joins use; a LSH pair stream at 10^12 docs exceeds the
+    limit and takes the distributed loop, a gate-scale graph skips
+    ~10 orchestrated rounds for microseconds of union-find).  Both
+    paths produce identical (node, min-reachable-id) labelings.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -337,6 +350,38 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
 
     edges = pairs.map_batches(edges_batch, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+
+    if edges.count() <= 2 * small_graph_limit:  # src/dst doubled
+        import ray
+
+        # upstream map_groups stages can emit SCHEMA-LESS empty blocks
+        # (same Acero quirk the loop's repartition guards against) —
+        # drop them before touching columns
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        src = np.concatenate([t.column("src").to_numpy() for t in tabs]
+                             ) if tabs else np.empty(0, dtype=np.int64)
+        dst = np.concatenate([t.column("dst").to_numpy() for t in tabs]
+                             ) if tabs else np.empty(0, dtype=np.int64)
+        parent: dict[int, int] = {}
+
+        def find(u: int) -> int:
+            while parent.setdefault(u, u) != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        # edges carry each pair twice (src->dst and dst->src, block-
+        # interleaved) — union-find is idempotent, so just walk all
+        for ia, ib in zip(src.tolist(), dst.tolist()):
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = np.array(sorted(parent), dtype=np.int64)
+        comp = np.array([find(int(u)) for u in nodes], dtype=np.int64)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_out: pa.array(nodes),
+                                       comp_out: pa.array(comp)}))
     # labels carry their node id under the JOIN KEY NAME ("dst") the
     # whole way, so every join consumes a materialized dataset directly
     # (a lazy rename feeding Dataset.join trips Acero's key resolution)
@@ -357,12 +402,32 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         return pa.table({"dst": batch.column("src"),
                          "lab": batch.column("lab")})
 
+    def lab_as_key(batch: pa.Table) -> pa.Table:
+        # re-key each (node, lab) row by its LABEL so a self-join pulls
+        # in lab(lab(node)) — the path-halving hop
+        return pa.table({"dst": batch.column("lab"),
+                         "orig": batch.column("dst")})
+
+    def hop_to_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"dst": batch.column("orig"),
+                         "lab": batch.column("lab")})
+
     converged = False
     for _ in range(max_rounds):
+        # each join MATERIALIZES before the next plan is built: two
+        # lazy joins fused into one union plan each spawn their own
+        # num_partitions shuffle pool and oversubscribe small clusters
+        # into a crawl (observed: round 0 never finished at 4 CPUs)
         nbr = edges.join(labels, "inner", num_partitions, on=("dst",)
-                         ).map_batches(nbr_to_label, batch_format="pyarrow")
+                         ).map_batches(nbr_to_label, batch_format="pyarrow"
+                                       ).materialize()
+        keyed = labels.map_batches(lab_as_key, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        hop = keyed.join(labels, "inner", num_partitions, on=("dst",)
+                         ).map_batches(hop_to_label, batch_format="pyarrow"
+                                       ).materialize()
         labels = (
-            labels.union(nbr)
+            labels.union(nbr).union(hop)
             .groupby("dst").aggregate(Min("lab", alias_name="lab"))
             # normalize blocks: the aggregate emits SCHEMA-LESS empty
             # blocks for empty hash partitions, which Acero's join key

@@ -633,3 +633,45 @@ def test_contain_anti_join_vs_brute_force(ray_session):
               & (y[:, None] >= zones["min_y"][None, :])
               & (y[:, None] <= zones["max_y"][None, :])).any(axis=1)
     assert sorted(out.doc_id) == sorted(np.nonzero(~inside)[0].tolist())
+
+
+def test_connected_components_long_chain_path_halving(ray_session):
+    """A 300-node chain through the DISTRIBUTED loop (fast path
+    disabled) must converge in O(log n) rounds via the path-halving
+    hop — plain neighbor propagation would need ~300 rounds and raise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.dedup import connected_components
+
+    n = 300
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": np.arange(n - 1, dtype=np.int64),
+        "doc_b": np.arange(1, n, dtype=np.int64),
+    }))
+    out = connected_components(pairs, max_rounds=20,
+                               small_graph_limit=0).to_pandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+
+
+def test_connected_components_fast_path_matches_distributed(ray_session):
+    """Driver union-find and the distributed loop label a random pair
+    graph identically."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 120, 200)
+    b = rng.integers(0, 120, 200)
+    keep = a != b
+    tbl = pa.table({"doc_a": pa.array(np.minimum(a, b)[keep]),
+                    "doc_b": pa.array(np.maximum(a, b)[keep])})
+    fast = connected_components(rd.from_arrow(tbl)).to_pandas()
+    dist = connected_components(rd.from_arrow(tbl),
+                                small_graph_limit=0).to_pandas()
+    f = dict(zip(fast.doc_id, fast.component))
+    d = dict(zip(dist.doc_id, dist.component))
+    assert f == d

@@ -24,7 +24,16 @@ def to_pandas(obj) -> pd.DataFrame:
     import ray.data
 
     if isinstance(obj, ray.data.Dataset):
-        return obj.to_pandas()
+        df = obj.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0:
+            # the streaming executor prunes all-empty blocks, so an
+            # empty result loses its columns in to_pandas(); rebuild
+            # the frame from the dataset schema (which survives)
+            sch = obj.schema()
+            empty = pa.table({n: pa.array([], type=t)
+                              for n, t in zip(sch.names, sch.types)})
+            return empty.to_pandas()
+        return df
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
