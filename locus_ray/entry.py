@@ -1300,6 +1300,84 @@ def _q_span_texts(sf_dir: str):
         explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_STRATUM_K = 2  # docs kept per tile by the stratified sampler
+
+
+def _q_sample_per_tile(sf_dir: str):
+    """Stratified sampling: the ``_STRATUM_K`` docs with the smallest
+    (hash, doc_id) per tile — deterministic, resumable (pure function
+    of ids), and balanced across space regardless of density skew.
+
+    Scale shape: per-batch PARTIAL top-k per cell (lexsort + run-length
+    rank — blocks emit at most k rows per touched cell), then one
+    groupby merge re-running the same kernel on <= k * blocks rows per
+    cell; the corpus itself never shuffles."""
+    from .sources import tables
+    from .stages import spatial
+
+    tiled = spatial.assign_tiles(tables.docs_geo(sf_dir), res=RES)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = ((doc % 1000003) * (2654435761 % 1000003)) % 1000003
+        order = np.lexsort((doc, h, cell))
+        c_s, d_s, h_s = cell[order], doc[order], h[order]
+        starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        counts = np.diff(np.append(starts, len(c_s)))
+        rank = np.arange(len(c_s), dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < _STRATUM_K
+        return pa.table({"cell_id": pa.array(c_s[keep]),
+                         "doc_id": pa.array(d_s[keep]),
+                         "h": pa.array(h_s[keep])})
+
+    partial = tiled.map_batches(topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = partial.groupby("cell_id").map_groups(
+        topk, batch_format="pyarrow")
+    return merged.drop_columns(["h"])
+
+
+def _q_chars_quantiles(sf_dir: str):
+    """Exact distributed quantiles of ``n_chars`` (median + p90) via
+    the value-HISTOGRAM method: per-batch (value, count) combine, one
+    small groupby Sum, then the driver resolves order statistics from
+    the cumulative histogram — the corpus never sorts and never
+    leaves the cluster; what reaches the driver is bounded by the
+    number of DISTINCT values, not rows.  Median interpolation is one
+    explicit float op sequence mirrored in the SQL (DuckDB's builtin
+    ``median`` interpolates with an unspecified op order)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+
+    docs = tables.read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch.column("n_chars").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = (docs.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas())
+    hist = hist.sort_values("v").reset_index(drop=True)
+    cum = hist["c"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = hist["v"].to_numpy()
+
+    def kth(k: int) -> int:
+        return int(vals[np.searchsorted(cum, k)])
+
+    lo, hi = kth((n + 1) // 2), kth((n + 2) // 2)
+    median = (np.float64(lo) + np.float64(hi)) / np.float64(2.0)
+    p90 = kth((9 * n + 9) // 10)
+    return pd.DataFrame({"n": [n], "median_chars": [float(median)],
+                         "p90_chars": [p90]})
+
+
 def _q_flagship_spans(sf_dir: str):
     from .pipelines import flagship
 
@@ -1368,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_docs_self": _q_knn_docs_self,
         "span_stats": _q_span_stats,
         "span_texts": _q_span_texts,
+        "sample_per_tile": _q_sample_per_tile,
+        "chars_quantiles": _q_chars_quantiles,
         "within_dist_pairs": _q_within_dist_pairs,
         "zonal_stats": _q_zonal_stats,
         "spatial_clusters": _q_spatial_clusters,
@@ -1465,6 +1545,28 @@ def oracle_sql() -> dict[str, str]:
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "span_stats": oracles.span_stats_sql(_SPAN_DOCS),
         "span_texts": oracles.span_texts_sql(_SPAN_DOCS),
+        "sample_per_tile": f"""
+            WITH g AS ({_sql_grid()}),
+            t AS (SELECT doc_id,
+                         (ix // {_SHIFT_DIV}) * {_AXIS} + (iy // {_SHIFT_DIV}) AS cell_id,
+                         ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS h
+                  FROM g),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY h, doc_id) AS rnk
+                  FROM t)
+            SELECT cell_id, doc_id FROM r WHERE rnk <= {_STRATUM_K}
+        """,
+        "chars_quantiles": """
+            WITH o AS (SELECT n_chars,
+                              ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM documents)
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   (CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS DOUBLE)
+                    + CAST(MIN(CASE WHEN rn = (n + 2) // 2 THEN n_chars END) AS DOUBLE))
+                   / 2.0e0 AS median_chars,
+                   CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT) AS p90_chars
+            FROM o
+        """,
         "tile_index_stats": oracles.tile_index_stats_sql(res=4, max_children=16),
         "embed_dup_pairs": oracles.embed_dup_pairs_sql(workload.EMBED_DUP_THRESHOLD),
         "embed_dup_pairs_lsh": oracles.embed_dup_pairs_lsh_sql(

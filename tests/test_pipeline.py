@@ -675,3 +675,35 @@ def test_connected_components_fast_path_matches_distributed(ray_session):
     f = dict(zip(fast.doc_id, fast.component))
     d = dict(zip(dist.doc_id, dist.component))
     assert f == d
+
+
+def test_sample_per_tile_and_quantiles_vs_brute_force(ray_session):
+    """Stratified sampler and histogram quantiles match driver-side
+    numpy re-derivations at SF."""
+    import pyarrow.parquet as pq
+
+    from locus_ray import cells, derive
+    from locus_ray.entry import (_STRATUM_K, RES, _q_chars_quantiles,
+                                 _q_sample_per_tile)
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = tab.column("doc_id").to_numpy()
+    x, y = derive.doc_xy(ids)
+    cid = cells.cell_id(x, y, RES)
+    h = ((ids % 1000003) * (2654435761 % 1000003)) % 1000003
+    want = set()
+    for c in np.unique(cid):
+        m = cid == c
+        order = np.lexsort((ids[m], h[m]))[:_STRATUM_K]
+        want |= {(int(c), int(d)) for d in ids[m][order]}
+    out = _q_sample_per_tile(SF).to_pandas()
+    assert set(zip(out.cell_id, out.doc_id)) == want
+
+    nch = np.sort(tab.column("n_chars").to_numpy())
+    n = len(nch)
+    med = (np.float64(nch[(n + 1) // 2 - 1]) + np.float64(nch[(n + 2) // 2 - 1])) / 2.0
+    p90 = int(nch[(9 * n + 9) // 10 - 1])
+    q = _q_chars_quantiles(SF)
+    assert int(q["n"][0]) == n
+    assert float(q["median_chars"][0]) == float(med)
+    assert int(q["p90_chars"][0]) == p90
