@@ -107,6 +107,55 @@ def _segseg_d2(a: str, b: str) -> str:
     return f"CASE WHEN ({proper}) OR ({touch}) THEN 0.0 ELSE {dmin} END"
 
 
+def _sql_seg_intersects(asx, asy, aex, aey, bsx, bsy, bex, bey) -> str:
+    """Generic SQL closed segment-intersection predicate over
+    coordinate EXPRESSIONS — mirrors kernels.segments_intersect
+    (same cross products, same comparisons) so the boolean is
+    bit-exact by construction."""
+    d1 = _sql_cross(bsx, bsy, bex, bey, asx, asy)
+    d2 = _sql_cross(bsx, bsy, bex, bey, aex, aey)
+    d3 = _sql_cross(asx, asy, aex, aey, bsx, bsy)
+    d4 = _sql_cross(asx, asy, aex, aey, bex, bey)
+
+    def on_seg(sx, sy, ex, ey, px, py):
+        return (f"(LEAST({sx}, {ex}) <= {px} AND {px} <= GREATEST({sx}, {ex})"
+                f" AND LEAST({sy}, {ey}) <= {py} AND {py} <= GREATEST({sy}, {ey}))")
+
+    proper = (f"(((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))"
+              f" AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0)))")
+    touch = (
+        f"((({d1}) = 0 AND {on_seg(bsx, bsy, bex, bey, asx, asy)})"
+        f" OR (({d2}) = 0 AND {on_seg(bsx, bsy, bex, bey, aex, aey)})"
+        f" OR (({d3}) = 0 AND {on_seg(asx, asy, aex, aey, bsx, bsy)})"
+        f" OR (({d4}) = 0 AND {on_seg(asx, asy, aex, aey, bex, bey)}))"
+    )
+    return f"({proper} OR {touch})"
+
+
+def _sql_box_seg_intersects(z: str, s: str) -> str:
+    """SQL closed box-segment intersection predicate between rows
+    aliased ``z`` (min_x..max_y) and ``s`` (start_x..end_y) — mirrors
+    kernels.box_segment_intersects (endpoint in closed box, or the
+    segment meets one of the four box edges)."""
+    seg = (f"{s}.start_x", f"{s}.start_y", f"{s}.end_x", f"{s}.end_y")
+    inside = (
+        f"(({s}.start_x >= {z}.min_x AND {s}.start_x <= {z}.max_x"
+        f" AND {s}.start_y >= {z}.min_y AND {s}.start_y <= {z}.max_y)"
+        f" OR ({s}.end_x >= {z}.min_x AND {s}.end_x <= {z}.max_x"
+        f" AND {s}.end_y >= {z}.min_y AND {s}.end_y <= {z}.max_y))"
+    )
+    edges = (
+        (f"{z}.min_x", f"{z}.min_y", f"{z}.max_x", f"{z}.min_y"),
+        (f"{z}.max_x", f"{z}.min_y", f"{z}.max_x", f"{z}.max_y"),
+        (f"{z}.max_x", f"{z}.max_y", f"{z}.min_x", f"{z}.max_y"),
+        (f"{z}.min_x", f"{z}.max_y", f"{z}.min_x", f"{z}.min_y"),
+    )
+    hits = " OR ".join(
+        _sql_seg_intersects(e1x, e1y, e2x, e2y, *seg)
+        for (e1x, e1y, e2x, e2y) in edges)
+    return f"({inside} OR {hits})"
+
+
 # ---------------------------------------------------------------------------
 # Ray query callables
 # ---------------------------------------------------------------------------
@@ -199,6 +248,70 @@ def _q_zone_overlap_pairs(sf_dir: str):
     from .stages.partitioned import box_overlap_pairs
 
     return box_overlap_pairs(tables.zones_ds(sf_dir), res=6)
+
+
+def _q_docs_near_zones(sf_dir: str):
+    """Buffered containment ("zones within NEAR_ZONE_RADIUS of the
+    doc", closed P5 <= r^2): the vector buffer-join.  Candidates from
+    a broadcast cover index over the r-INFLATED boxes, exact distance
+    refine on the originals (stages/spatial.ContainJoinActor with
+    radius>0) — same zero-shuffle shape as the containment join."""
+    import ray
+
+    from .sources import tables
+    from .stages import spatial
+
+    ref = ray.put(tables.zones_payload(sf_dir))
+    return tables.docs_geo(sf_dir).map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"zones_ref": ref, "res": RES,
+                               "radius": workload.NEAR_ZONE_RADIUS},
+        concurrency=actor_pool(), batch_size=4096,
+    )
+
+
+def _q_seg_intersections(sf_dir: str):
+    """Segment-overlay self-join: all intersecting segment pairs
+    (closed, P7 zero-distance case) via bbox cell-cover explode +
+    min-corner dedup (stages/partitioned.segment_intersection_pairs)."""
+    from .sources import tables
+    from .stages.partitioned import segment_intersection_pairs
+
+    return segment_intersection_pairs(tables.segments_ds(sf_dir), res=6)
+
+
+def _q_zone_seg_overlap(sf_dir: str):
+    """Bipartite box x segment intersection join (P8 zero-distance
+    case): one row per (zone, segment) the segment touches or enters
+    (stages/partitioned.box_segment_overlap_join)."""
+    from .sources import tables
+    from .stages.partitioned import box_segment_overlap_join
+
+    return box_segment_overlap_join(
+        tables.zones_ds(sf_dir), tables.segments_ds(sf_dir), res=6)
+
+
+def _q_reverse_knn(sf_dir: str):
+    """Reverse kNN (influence sets): for each TARGET doc (ids
+    divisible by RKNN_TARGET_MOD), every doc whose 3-NN list contains
+    it.  Pure block-local filter + rename of the kNN self-join stream
+    — the flipped edges need no extra shuffle because the influence
+    test is per-edge."""
+
+    def flip(batch: pa.Table) -> pa.Table:
+        nid = batch.column("neighbor_id").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ((nid % workload.RKNN_TARGET_MOD) == 0) & (nid != did)
+        rows = pa.array(np.nonzero(keep)[0])
+        return pa.table({
+            "target_id": batch.column("neighbor_id").take(rows),
+            "doc_id": batch.column("doc_id").take(rows),
+            "rnk": batch.column("rnk").take(rows),
+            "d2": batch.column("d2").take(rows),
+        })
+
+    return _q_knn_docs_self(sf_dir).map_batches(
+        flip, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_find_box_docs(sf_dir: str):
@@ -1406,7 +1519,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
         "docs_outside_zones": _q_docs_outside_zones,
+        "docs_near_zones": _q_docs_near_zones,
         "zone_overlap_pairs": _q_zone_overlap_pairs,
+        "seg_intersections": _q_seg_intersections,
+        "zone_seg_overlap": _q_zone_seg_overlap,
+        "reverse_knn": _q_reverse_knn,
         "find_box_docs": _q_find_box_docs,
         "zone_subsets": _q_zone_subsets,
         "zone_supersets": _q_zone_supersets,
@@ -1526,6 +1643,38 @@ def oracle_sql() -> dict[str, str]:
             FROM z a JOIN z b ON a.zone_id < b.zone_id
             WHERE a.min_x < b.max_x AND b.min_x < a.max_x
               AND a.min_y < b.max_y AND b.min_y < a.max_y
+        """,
+        "docs_near_zones": f"""
+            WITH d AS ({docs}), z AS ({zones})
+            SELECT d.doc_id, z.zone_id, {_BOX_D2} AS d2
+            FROM d, z
+            WHERE {_BOX_D2} <= {derive.F(workload.NEAR_ZONE_RADIUS ** 2)}
+        """,
+        "seg_intersections": f"""
+            WITH s AS ({segs})
+            SELECT a.segment_id AS id_a, b.segment_id AS id_b
+            FROM s a JOIN s b ON a.segment_id < b.segment_id
+            WHERE {_sql_seg_intersects(
+                'a.start_x', 'a.start_y', 'a.end_x', 'a.end_y',
+                'b.start_x', 'b.start_y', 'b.end_x', 'b.end_y')}
+        """,
+        "zone_seg_overlap": f"""
+            WITH z AS ({zones}), s AS ({segs})
+            SELECT z.zone_id, s.segment_id
+            FROM z, s
+            WHERE {_sql_box_seg_intersects('z', 's')}
+        """,
+        "reverse_knn": f"""
+            WITH d AS ({docs}),
+            scored AS (SELECT a.doc_id, b.doc_id AS neighbor_id,
+                       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+                       FROM d a CROSS JOIN d b),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT neighbor_id AS target_id, doc_id, rnk, d2
+            FROM ranked
+            WHERE rnk <= 3 AND neighbor_id % {workload.RKNN_TARGET_MOD} = 0
+              AND neighbor_id <> doc_id
         """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),

@@ -1118,16 +1118,27 @@ class GridContain:
     """
 
     def __init__(self, geoms: dict[str, np.ndarray], ids: np.ndarray, res: int,
-                 context=None):
+                 context=None, radius: float = 0.0):
         from .context import get_context
 
         self.ctx = get_context(context)
         self.ids = np.asarray(ids, dtype=np.int64)
         self.res = res
         self.axis = 1 << res
+        self.radius = float(radius)
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
-        mnx, mxx, mny, mxy = (self.g["min_x"], self.g["max_x"],
-                              self.g["min_y"], self.g["max_y"])
+        if self.radius > 0.0:
+            # buffered ("within distance r") variant: the cover index is
+            # built over boxes INFLATED by r per axis — the Chebyshev
+            # superset of the euclidean r-buffer, so the bucket lookup
+            # stays a superset prefilter; query_within refines with the
+            # exact P5 distance on the ORIGINAL boxes.
+            r = self.radius
+            mnx, mxx, mny, mxy = (self.g["min_x"] - r, self.g["max_x"] + r,
+                                  self.g["min_y"] - r, self.g["max_y"] + r)
+        else:
+            mnx, mxx, mny, mxy = (self.g["min_x"], self.g["max_x"],
+                                  self.g["min_y"], self.g["max_y"])
         n = len(self.ids)
         rows = np.arange(n, dtype=np.int64)
         nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis) - np.floor(
@@ -1176,3 +1187,43 @@ class GridContain:
         if not out_src:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return np.concatenate(out_src), np.concatenate(out_ids)
+
+    def query_within(self, qx: np.ndarray, qy: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(query_row, box_id, d2) pairs where the box-point squared
+        distance (P5, closed) is <= radius**2 — the buffered
+        containment / "docs within r of zone" range join.  Requires
+        ``radius > 0`` at construction (the cover index must be built
+        over the inflated boxes)."""
+        if self.radius <= 0.0:
+            raise ValueError("GridContain.query_within requires radius > 0")
+        qx = np.asarray(qx, dtype=np.float64)
+        qy = np.asarray(qy, dtype=np.float64)
+        g = self.g
+        r2 = self.radius * self.radius
+        out_src: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        out_d2: list[np.ndarray] = []
+        for b in (self.buckets, self.big_buckets):
+            if b is None:
+                continue
+            hcx = np.clip(np.floor((qx - WORLD_MIN_X) / WORLD_W * b.axis),
+                          0, b.axis - 1).astype(np.int64)
+            hcy = np.clip(np.floor((qy - WORLD_MIN_Y) / WORLD_H * b.axis),
+                          0, b.axis - 1).astype(np.int64)
+            src, pos = b.lookup(hcx * b.axis + hcy)
+            if len(pos):
+                d2 = self.ctx.box_point_squared_distance(
+                    g["min_x"][pos], g["max_x"][pos], g["min_y"][pos], g["max_y"][pos],
+                    qx[src], qy[src],
+                )
+                ok = d2 <= r2
+                out_src.append(src[ok])
+                out_ids.append(self.ids[pos[ok]])
+                out_d2.append(d2[ok])
+
+        if not out_src:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        return (np.concatenate(out_src), np.concatenate(out_ids),
+                np.concatenate(out_d2))

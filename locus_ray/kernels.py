@@ -139,6 +139,26 @@ def segments_squared_distance(asx, asy, aex, aey, bsx, bsy, bex, bey) -> np.ndar
     return np.where(hit, 0.0, d)
 
 
+def box_segment_intersects(min_x, max_x, min_y, max_y, sx, sy, ex, ey) -> np.ndarray:
+    """Closed box-segment intersection predicate — exactly the
+    ``box_segment_squared_distance == 0`` case of P8 (an endpoint lies
+    in the closed box, or the segment meets one of the four edges),
+    evaluated as pure comparisons on cross products so the SQL mirror
+    is trivially bit-exact."""
+    hit = contains_point(min_x, max_x, min_y, max_y, sx, sy) | contains_point(
+        min_x, max_x, min_y, max_y, ex, ey
+    )
+    edges = (
+        (min_x, min_y, max_x, min_y),
+        (max_x, min_y, max_x, max_y),
+        (max_x, max_y, min_x, max_y),
+        (min_x, max_y, min_x, min_y),
+    )
+    for (e1x, e1y, e2x, e2y) in edges:
+        hit = hit | segments_intersect(e1x, e1y, e2x, e2y, sx, sy, ex, ey)
+    return hit
+
+
 def box_segment_squared_distance(min_x, max_x, min_y, max_y, sx, sy, ex, ey) -> np.ndarray:
     """P8 — 0 if the segment touches/enters the box, else min distance
     to the four box edges (used at locus/segmental.py:69)."""

@@ -487,6 +487,195 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         pairs_of_group, batch_format="pyarrow")
 
 
+def _cell_floor_fns(res: int):
+    from ..config import WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
+
+    axis = 1 << res
+
+    def fx(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - WORLD_MIN_X) / WORLD_W * axis), 0,
+                       axis - 1).astype(np.int64)
+
+    def fy(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - WORLD_MIN_Y) / WORLD_H * axis), 0,
+                       axis - 1).astype(np.int64)
+
+    return axis, fx, fy
+
+
+def _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res: int):
+    """(cell, source_row) explode of each bbox's world-clamped cell
+    cover at ``res`` — the shared candidate-generation step of the
+    pair-join family (box_overlap_pairs' scheme, factored)."""
+    axis, fx, fy = _cell_floor_fns(res)
+    cx_lo, cx_hi = fx(mnx), fx(mxx)
+    cy_lo, cy_hi = fy(mny), fy(mxy)
+    nx = cx_hi - cx_lo + 1
+    ny = cy_hi - cy_lo + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    ny_r = np.repeat(ny, counts)
+    gx = np.repeat(cx_lo, counts) + local // ny_r
+    gy = np.repeat(cy_lo, counts) + local % ny_r
+    return gx * axis + gy, rep
+
+
+def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id"):
+    """All unordered INTERSECTING segment pairs (closed — touching
+    counts, the zero-distance case of P7): ``(id_a, id_b)`` with
+    ``id_a < id_b``.  The segment-overlay / crossing-detection join.
+
+    Same one-exchange shape as :func:`box_overlap_pairs`: each segment
+    explodes to its BBOX cell cover; intersecting segments have
+    overlapping bboxes, so both covers include every cell of the bbox
+    intersection — the min-corner rule emits the pair only in the cell
+    holding that intersection's (xlo, ylo) corner.  Per group one
+    vectorized m x m orientation-test matrix
+    (kernels.segments_intersect) — exact float predicate, no distance
+    computation, no dedup shuffle.
+
+    Skew: a segment's bbox cover is its length in cells squared-ish
+    (diagonal segments cover the full bbox, not just pierced cells) —
+    ``res`` should keep typical covers O(10) cells; oversized outliers
+    would ride a broadcast side like contain_join_partitioned's hybrid
+    split at corpus scale.
+    """
+    from ..kernels import segments_intersect
+
+    axis, fx, fy = _cell_floor_fns(res)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        cell, rep = _bbox_cover_explode(
+            ids, np.minimum(sx, ex), np.maximum(sx, ex),
+            np.minimum(sy, ey), np.maximum(sy, ey), res)
+        return pa.table({
+            "cell": cell,
+            id_col: pa.array(ids[rep]),
+            "start_x": pa.array(sx[rep]), "start_y": pa.array(sy[rep]),
+            "end_x": pa.array(ex[rep]), "end_y": pa.array(ey[rep]),
+        })
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        cell = int(batch.column("cell")[0].as_py())
+        m = len(ids)
+        upper = np.arange(m)[:, None] < np.arange(m)[None, :]
+        hit = upper & segments_intersect(
+            sx[:, None], sy[:, None], ex[:, None], ey[:, None],
+            sx[None, :], sy[None, :], ex[None, :], ey[None, :])
+        a, b = np.nonzero(hit)
+        # min-corner dedup over the bbox intersection's low corner
+        xlo = np.maximum(np.minimum(sx[a], ex[a]), np.minimum(sx[b], ex[b]))
+        ylo = np.maximum(np.minimum(sy[a], ey[a]), np.minimum(sy[b], ey[b]))
+        keep = (fx(xlo) * axis + fy(ylo)) == cell
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        return pa.table({"id_a": pa.array(np.minimum(ia, ib)),
+                         "id_b": pa.array(np.maximum(ia, ib))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return exploded.groupby("cell").map_groups(
+        pairs_of_group, batch_format="pyarrow")
+
+
+def box_segment_overlap_join(zones, segments, res: int = 6,
+                             zone_id: str = "zone_id",
+                             seg_id: str = "segment_id"):
+    """Bipartite box-segment intersection join (closed — the
+    ``box_segment_squared_distance == 0`` case of P8): one row
+    ``(zone_id, segment_id)`` per zone box the segment touches or
+    enters.  The vector-overlay sibling of the containment join for
+    line geometry (roads x districts).
+
+    One exchange: both sides explode to their bbox cell covers at
+    ``res`` into a SHARED schema (``c0..c3`` are box corners for
+    zones, endpoints for segments — decoded per side inside the
+    group); a qualifying pair's bbox intersection is covered by both
+    sides, so the min-corner rule emits it exactly once.  Per group
+    one vectorized zones x segments predicate matrix
+    (kernels.box_segment_intersects — pure orientation/containment
+    comparisons, trivially SQL-mirrorable).
+    """
+    from ..kernels import box_segment_intersects
+
+    axis, fx, fy = _cell_floor_fns(res)
+
+    def explode_zones(batch: pa.Table) -> pa.Table:
+        ids = batch.column(zone_id).to_numpy(zero_copy_only=False)
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        cell, rep = _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res)
+        return pa.table({
+            "cell": cell, "gid": pa.array(ids[rep]),
+            "c0": pa.array(mnx[rep]), "c1": pa.array(mxx[rep]),
+            "c2": pa.array(mny[rep]), "c3": pa.array(mxy[rep]),
+            "is_zone": pa.array(np.ones(len(rep), dtype=bool)),
+        })
+
+    def explode_segs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(seg_id).to_numpy(zero_copy_only=False)
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        cell, rep = _bbox_cover_explode(
+            ids, np.minimum(sx, ex), np.maximum(sx, ex),
+            np.minimum(sy, ey), np.maximum(sy, ey), res)
+        return pa.table({
+            "cell": cell, "gid": pa.array(ids[rep]),
+            "c0": pa.array(sx[rep]), "c1": pa.array(sy[rep]),
+            "c2": pa.array(ex[rep]), "c3": pa.array(ey[rep]),
+            "is_zone": pa.array(np.zeros(len(rep), dtype=bool)),
+        })
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        empty = pa.table({zone_id: pa.array([], type=pa.int64()),
+                          seg_id: pa.array([], type=pa.int64())})
+        is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
+        if is_zone.all() or not is_zone.any():
+            return empty
+        gid = batch.column("gid").to_numpy(zero_copy_only=False)
+        c0 = batch.column("c0").to_numpy(zero_copy_only=False)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False)
+        c3 = batch.column("c3").to_numpy(zero_copy_only=False)
+        cell = int(batch.column("cell")[0].as_py())
+        zi = np.nonzero(is_zone)[0]
+        si = np.nonzero(~is_zone)[0]
+        mnx, mxx, mny, mxy = c0[zi], c1[zi], c2[zi], c3[zi]
+        sx, sy, ex, ey = c0[si], c1[si], c2[si], c3[si]
+        hit = box_segment_intersects(
+            mnx[:, None], mxx[:, None], mny[:, None], mxy[:, None],
+            sx[None, :], sy[None, :], ex[None, :], ey[None, :])
+        z, s = np.nonzero(hit)
+        xlo = np.maximum(mnx[z], np.minimum(sx[s], ex[s]))
+        ylo = np.maximum(mny[z], np.minimum(sy[s], ey[s]))
+        keep = (fx(xlo) * axis + fy(ylo)) == cell
+        return pa.table({zone_id: pa.array(gid[zi][z[keep]]),
+                         seg_id: pa.array(gid[si][s[keep]])})
+
+    exploded = zones.map_batches(
+        explode_zones, batch_format="pyarrow", zero_copy_batch=True
+    ).union(segments.map_batches(
+        explode_segs, batch_format="pyarrow", zero_copy_batch=True))
+    return exploded.groupby("cell").map_groups(
+        pairs_of_group, batch_format="pyarrow")
+
+
 def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
     """All unordered STRICTLY-overlapping box pairs (interiors
     intersect — kernels.overlaps / P2 semantics): ``(id_a, id_b)``

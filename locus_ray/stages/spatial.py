@@ -72,23 +72,35 @@ class ContainJoinActor:
     ``anti=True`` flips it into the spatial ANTI-join: emit the carry
     columns of rows contained by NO zone (block-local NOT EXISTS —
     the index lookup is the same, only the emit side inverts, so no
-    extra shuffle or second pass)."""
+    extra shuffle or second pass).
+
+    ``radius > 0`` turns it into the buffered within-distance join
+    ("zones within r of this doc", the vector buffer-join): candidates
+    come from a cover index over the r-inflated boxes, the refine is
+    the exact P5 box-point squared distance (closed ``<= r*r``), and
+    the distance is emitted as ``dist_out``."""
 
     def __init__(self, zones_ref, res: int, x_col: str = "x", y_col: str = "y",
                  carry: tuple[str, ...] = ("doc_id",), id_out: str = "zone_id",
-                 anti: bool = False):
+                 anti: bool = False, radius: float = 0.0,
+                 dist_out: str = "d2"):
         zones = ray.get(zones_ref) if isinstance(zones_ref, ray.ObjectRef) else zones_ref
         self.index = GridContain(
             {k: zones[k] for k in ("min_x", "max_x", "min_y", "max_y")},
-            zones["ids"], res,
+            zones["ids"], res, radius=radius,
         )
         self.x_col, self.y_col, self.carry, self.id_out = x_col, y_col, carry, id_out
         self.anti = anti
+        self.radius = float(radius)
+        self.dist_out = dist_out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qx = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         qy = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        src, zone_id = self.index.query(qx, qy)
+        if self.radius > 0.0:
+            src, zone_id, d2 = self.index.query_within(qx, qy)
+        else:
+            src, zone_id = self.index.query(qx, qy)
         if self.anti:
             outside = np.ones(len(batch), dtype=bool)
             outside[src] = False
@@ -97,6 +109,8 @@ class ContainJoinActor:
                 {c: batch.column(c).take(pa.array(rows)) for c in self.carry})
         cols = {c: batch.column(c).take(pa.array(src)) for c in self.carry}
         cols[self.id_out] = pa.array(zone_id)
+        if self.radius > 0.0:
+            cols[self.dist_out] = pa.array(d2)
         return pa.table(cols)
 
 

@@ -50,6 +50,8 @@ ANN_QUERY_IDS = [0, 1, 2, 3]  # embeddings used as ANN query vectors
 # chosen to fire on the fixture embeddings (max off-diag cosine ~0.5)
 # with >5e-4 separation from the nearest sims on both sides at every sf
 EMBED_DUP_THRESHOLD = 0.4
+NEAR_ZONE_RADIUS = 1.0  # buffered containment join radius (world units)
+RKNN_TARGET_MOD = 50    # reverse-kNN target docs: doc_id % 50 == 0
 
 
 def sql_query_points() -> str:

@@ -707,3 +707,150 @@ def test_sample_per_tile_and_quantiles_vs_brute_force(ray_session):
     assert int(q["n"][0]) == n
     assert float(q["median_chars"][0]) == float(med)
     assert int(q["p90_chars"][0]) == p90
+
+
+def test_segment_intersection_pairs_vs_brute_force(ray_session):
+    """Segment-overlay self-join matches an O(n^2) orientation-test
+    brute force, including a touching pair (closed -> included), a
+    collinear overlapping pair, and a near-miss (excluded); min-corner
+    dedup emits each pair exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.kernels import segments_intersect
+    from locus_ray.stages.partitioned import segment_intersection_pairs
+
+    rng = np.random.default_rng(31)
+    n = 250
+    sx = rng.uniform(-170, 170, n)
+    sy = rng.uniform(-80, 80, n)
+    ex = sx + rng.uniform(-6, 6, n)
+    ey = sy + rng.uniform(-6, 6, n)
+    # planted: 1 touches 0 at an endpoint; 2 collinear-overlaps 0;
+    # 3 stops just short of 0 (excluded)
+    sx[0], sy[0], ex[0], ey[0] = 0.0, 0.0, 10.0, 0.0
+    sx[1], sy[1], ex[1], ey[1] = 5.0, 0.0, 5.0, 8.0      # touch at (5,0)
+    sx[2], sy[2], ex[2], ey[2] = 8.0, 0.0, 14.0, 0.0     # collinear overlap
+    sx[3], sy[3], ex[3], ey[3] = 3.0, np.nextafter(0.0, 1.0), 3.0, 5.0
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "segment_id": pa.array(ids),
+        "start_x": pa.array(sx), "start_y": pa.array(sy),
+        "end_x": pa.array(ex), "end_y": pa.array(ey),
+    }))
+    out = segment_intersection_pairs(ds, res=6).to_pandas()
+    got = sorted(zip(out.id_a, out.id_b))
+    assert len(got) == len(set(got))  # min-corner dedup: no double emits
+
+    hit = segments_intersect(
+        sx[:, None], sy[:, None], ex[:, None], ey[:, None],
+        sx[None, :], sy[None, :], ex[None, :], ey[None, :],
+    ) & (ids[:, None] < ids[None, :])
+    a, b = np.nonzero(hit)
+    want = sorted(zip(ids[a], ids[b]))
+    assert (0, 1) in want and (0, 2) in want and (0, 3) not in want
+    assert got == want
+
+
+def test_box_segment_overlap_join_vs_brute_force(ray_session):
+    """Bipartite box x segment intersection join matches the P8
+    zero-distance brute force: a pass-through segment (both endpoints
+    outside), a fully-inside segment (no edge crossing), a corner
+    touch (closed -> included), and a near-miss (excluded)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.kernels import box_segment_intersects
+    from locus_ray.stages.partitioned import box_segment_overlap_join
+
+    rng = np.random.default_rng(32)
+    nz, ns = 120, 200
+    cx = rng.uniform(-160, 160, nz)
+    cy = rng.uniform(-80, 80, nz)
+    hw = rng.uniform(0.5, 10.0, nz)
+    hh = rng.uniform(0.5, 6.0, nz)
+    mnx, mxx, mny, mxy = cx - hw, cx + hw, cy - hh, cy + hh
+    sx = rng.uniform(-170, 170, ns)
+    sy = rng.uniform(-80, 80, ns)
+    ex = sx + rng.uniform(-8, 8, ns)
+    ey = sy + rng.uniform(-8, 8, ns)
+    # planted box 0 = [0,10]x[0,10]
+    mnx[0], mxx[0], mny[0], mxy[0] = 0.0, 10.0, 0.0, 10.0
+    sx[0], sy[0], ex[0], ey[0] = -5.0, 5.0, 15.0, 5.0    # pass-through
+    sx[1], sy[1], ex[1], ey[1] = 2.0, 2.0, 8.0, 8.0      # fully inside
+    sx[2], sy[2], ex[2], ey[2] = 10.0, 10.0, 20.0, 20.0  # corner touch
+    sx[3], sy[3], ex[3], ey[3] = np.nextafter(10.0, 20.0), 5.0, 20.0, 5.0
+    zid = np.arange(nz, dtype=np.int64)
+    sid = np.arange(ns, dtype=np.int64)
+    zones = rd.from_arrow(pa.table({
+        "zone_id": pa.array(zid),
+        "min_x": pa.array(mnx), "max_x": pa.array(mxx),
+        "min_y": pa.array(mny), "max_y": pa.array(mxy),
+    }))
+    segs = rd.from_arrow(pa.table({
+        "segment_id": pa.array(sid),
+        "start_x": pa.array(sx), "start_y": pa.array(sy),
+        "end_x": pa.array(ex), "end_y": pa.array(ey),
+    }))
+    out = box_segment_overlap_join(zones, segs, res=6).to_pandas()
+    got = sorted(zip(out.zone_id, out.segment_id))
+    assert len(got) == len(set(got))
+
+    hit = box_segment_intersects(
+        mnx[:, None], mxx[:, None], mny[:, None], mxy[:, None],
+        sx[None, :], sy[None, :], ex[None, :], ey[None, :])
+    z, s = np.nonzero(hit)
+    want = sorted(zip(zid[z], sid[s]))
+    for planted in ((0, 0), (0, 1), (0, 2)):
+        assert planted in want
+    assert (0, 3) not in want
+    assert got == want
+
+
+def test_buffered_contain_join_vs_brute_force(ray_session):
+    """ContainJoinActor(radius=r) matches the P5 <= r^2 brute force,
+    including a point exactly AT distance r (closed) and one just
+    beyond (excluded)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from locus_ray.kernels import box_point_squared_distance
+    from locus_ray.stages import spatial
+
+    rng = np.random.default_rng(33)
+    n, nz = 1500, 60
+    x = rng.uniform(-180, 180, n)
+    y = rng.uniform(-90, 90, n)
+    zx = rng.uniform(-160, 160, nz)
+    zy = rng.uniform(-75, 75, nz)
+    hw = rng.uniform(0.5, 8.0, nz)
+    hh = rng.uniform(0.5, 5.0, nz)
+    mnx, mxx, mny, mxy = zx - hw, zx + hw, zy - hh, zy + hh
+    r = 1.25
+    # planted against box 0: exactly at r east of max_x (closed ->
+    # included), just beyond r (excluded)
+    mnx[0], mxx[0], mny[0], mxy[0] = 0.0, 4.0, 0.0, 4.0
+    x[0], y[0] = 4.0 + r, 2.0
+    x[1], y[1] = np.nextafter(4.0 + r, 100.0), 2.0
+    ids = np.arange(n, dtype=np.int64)
+    zid = np.arange(nz, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                   "x": pa.array(x), "y": pa.array(y)}))
+    ref = ray.put({"ids": zid, "min_x": mnx, "max_x": mxx,
+                   "min_y": mny, "max_y": mxy})
+    out = docs.map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"zones_ref": ref, "res": 8, "radius": r},
+        concurrency=2, batch_size=512,
+    ).to_pandas()
+    got = sorted(zip(out.doc_id, out.zone_id, out.d2))
+
+    d2 = box_point_squared_distance(
+        mnx[None, :], mxx[None, :], mny[None, :], mxy[None, :],
+        x[:, None], y[:, None])
+    a, b = np.nonzero(d2 <= r * r)
+    want = sorted(zip(ids[a], zid[b], d2[a, b]))
+    assert any(p[:2] == (0, 0) for p in want)
+    assert not any(p[:2] == (1, 0) for p in want)
+    assert got == want
