@@ -1491,6 +1491,111 @@ def _q_chars_quantiles(sf_dir: str):
                          "p90_chars": [p90]})
 
 
+MORAN_EPS = 1.0  # distance-band weight radius for Moran's I
+
+
+def _q_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of ``n_chars`` under
+    binary distance-band weights (w_ij = 1 iff dist <= MORAN_EPS),
+    the esda-style spatial statistic.
+
+    INTEGER-EXACT distributed formulation: with S = sum(v), centered
+    values scale to (N*v_i - S) (all BIGINT), so the pair numerator
+    sum( (N*va - S)*(N*vb - S) ) and the denominator
+    sum( (N*v - S)^2 ) are order-independent integer aggregates — the
+    N^2 scale factors cancel in the ratio, and the ONLY float ops are
+    the final mirrored casts/divide.  The pair stream comes from the
+    radius self-join with the value riding the shuffle as one scalar
+    column (carry_col — no join-back).  At gate scale the BIGINT
+    partials are exact by range (n_chars <= ~600, N = 500); a
+    10^12-doc corpus would overflow the centered products and switches
+    to the float path without the bit-parity guarantee (documented
+    tradeoff, same as IDW's integer quantization).
+
+    Each unordered pair appears once in the stream; symmetric W
+    double-counts cancel between W = 2P and num = 2*sum_pairs."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .sources import tables
+    from .stages.partitioned import within_distance_pairs
+
+    docs = tables.docs_geo(sf_dir, extra_columns=("n_chars",))
+    st = docs.aggregate(Sum("n_chars", alias_name="s"), Count())
+    n = int(st["count()"])
+    s = int(st["s"])
+
+    pairs = within_distance_pairs(docs, radius=MORAN_EPS,
+                                  carry_col="n_chars")
+
+    def num_partial(batch: pa.Table) -> pa.Table:
+        va = batch.column("va").to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = batch.column("vb").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = n * va - s
+        db = n * vb - s
+        return pa.table({"num": pa.array([int((da * db).sum())]),
+                         "n_pairs": pa.array([len(va)])})
+
+    def den_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = n * v - s
+        return pa.table({"den": pa.array([int((d * d).sum())])})
+
+    num_agg = pairs.map_batches(num_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).aggregate(
+        Sum("num", alias_name="num"), Sum("n_pairs", alias_name="n_pairs"))
+    den_agg = docs.map_batches(den_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).aggregate(
+        Sum("den", alias_name="den"))
+    num = int(num_agg["num"])
+    p = int(num_agg["n_pairs"])
+    den = int(den_agg["den"])
+    moran_i = (np.float64(n) * np.float64(num)) / (
+        np.float64(p) * np.float64(den))
+    return pd.DataFrame({"n": [n], "n_pairs": [p], "num": [num],
+                         "den": [den], "moran_i": [float(moran_i)]})
+
+
+def _q_skyline_docs(sf_dir: str):
+    """Skyline query (pareto frontier, minimize x and y): docs
+    dominated by NO other doc (b dominates a iff b.x <= a.x and
+    b.y <= a.y and strictly smaller in one axis; exact duplicates are
+    both skyline).  Distributive two-pass shape: a vectorized
+    sort-based local skyline per block (the skyline of a union is a
+    subset of the union of local skylines), then one merge pass over
+    the tiny candidate set — the corpus itself never re-shuffles."""
+
+    from .sources import tables
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return batch
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        new_x = np.empty(len(xs), dtype=bool)
+        new_x[0] = True
+        new_x[1:] = xs[1:] != xs[:-1]
+        starts = np.nonzero(new_x)[0]
+        pm = np.minimum.accumulate(ys)
+        prev_min = np.full(len(starts), np.inf)
+        prev_min[1:] = pm[starts[1:] - 1]
+        gid = np.cumsum(new_x) - 1
+        first_y = ys[starts][gid]
+        keep_sorted = (ys < prev_min[gid]) & (ys == first_y)
+        keep = np.zeros(len(x), dtype=bool)
+        keep[order[keep_sorted]] = True
+        return batch.filter(pa.array(keep))
+
+    return (tables.docs_geo(sf_dir)
+            .map_batches(local_skyline, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(local_skyline, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def _q_flagship_spans(sf_dir: str):
     from .pipelines import flagship
 
@@ -1524,6 +1629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seg_intersections": _q_seg_intersections,
         "zone_seg_overlap": _q_zone_seg_overlap,
         "reverse_knn": _q_reverse_knn,
+        "morans_i": _q_morans_i,
+        "skyline_docs": _q_skyline_docs,
         "find_box_docs": _q_find_box_docs,
         "zone_subsets": _q_zone_subsets,
         "zone_supersets": _q_zone_supersets,
@@ -1663,6 +1770,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT z.zone_id, s.segment_id
             FROM z, s
             WHERE {_sql_box_seg_intersects('z', 's')}
+        """,
+        "morans_i": f"""
+            WITH g AS ({docs}),
+            d AS (SELECT g.doc_id, g.x, g.y, doc.n_chars
+                  FROM g JOIN documents doc USING (doc_id)),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(n_chars) AS BIGINT) AS sv FROM d),
+            p AS (SELECT a.n_chars AS va, b.n_chars AS vb
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id
+                  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                        <= {derive.F(MORAN_EPS * MORAN_EPS)}),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM((s.n * va - s.sv) * (s.n * vb - s.sv)) AS BIGINT) AS num
+                    FROM p, s),
+            dn AS (SELECT CAST(SUM((s.n * n_chars - s.sv) * (s.n * n_chars - s.sv)) AS BIGINT) AS den
+                   FROM d, s)
+            SELECT s.n, agg.n_pairs, agg.num, dn.den,
+                   (CAST(s.n AS DOUBLE) * CAST(agg.num AS DOUBLE))
+                   / (CAST(agg.n_pairs AS DOUBLE) * CAST(dn.den AS DOUBLE)) AS moran_i
+            FROM s, agg, dn
+        """,
+        "skyline_docs": f"""
+            WITH d AS ({docs})
+            SELECT a.doc_id, a.x, a.y FROM d a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d b
+              WHERE b.x <= a.x AND b.y <= a.y
+                AND (b.x < a.x OR b.y < a.y))
         """,
         "reverse_knn": f"""
             WITH d AS ({docs}),

@@ -403,7 +403,8 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
 
 def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
-                          x_col: str = "x", y_col: str = "y"):
+                          x_col: str = "x", y_col: str = "y",
+                          carry_col: str | None = None):
     """All unordered point pairs within CLOSED Euclidean ``radius``:
     ``(id_a, id_b, d2)`` with ``id_a < id_b`` and ``d2 <= radius**2``.
 
@@ -426,6 +427,11 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
     all-points-one-spot corpus needs the hot-cell sub-bucketing of
     grid_index before this operator, same caveat as documented there.
     Pairs themselves are the OUTPUT, so output volume is inherent.
+
+    ``carry_col`` (optional) rides the shuffle as ONE extra scalar
+    column and is emitted per pair as ``va``/``vb`` (aligned with
+    ``id_a``/``id_b``) — the simhash lesson: carrying a scalar through
+    the existing exchange beats joining it back afterwards.
     """
     from ..config import WORLD_MIN_X, WORLD_MIN_Y
 
@@ -445,13 +451,16 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         gx = cx[rep] + np.tile(dxs, n)
         gy = cy[rep] + np.tile(dys, n)
         res = np.tile(np.array([True, False, False, False, False]), n)
-        return pa.table({
+        cols = {
             "cell": gx * np.int64(1 << 31) + gy,
             id_col: pa.array(ids[rep]),
             x_col: pa.array(x[rep]),
             y_col: pa.array(y[rep]),
             "is_res": pa.array(res),
-        })
+        }
+        if carry_col is not None:
+            cols[carry_col] = batch.column(carry_col).take(pa.array(rep))
+        return pa.table(cols)
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -459,9 +468,14 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         y = batch.column(y_col).to_numpy(zero_copy_only=False)
         res = batch.column("is_res").to_numpy(zero_copy_only=False)
         ri = np.nonzero(res)[0]
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64()),
-                          "d2": pa.array([], type=pa.float64())})
+        empty_cols = {"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "d2": pa.array([], type=pa.float64())}
+        if carry_col is not None:
+            t = batch.schema.field(carry_col).type
+            empty_cols["va"] = pa.array([], type=t)
+            empty_cols["vb"] = pa.array([], type=t)
+        empty = pa.table(empty_cols)
         if len(ri) == 0:
             return empty
         dx = x[ri][:, None] - x[None, :]
@@ -478,8 +492,14 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         ia, ib = ids[ri][a], ids[b]
         lo = np.minimum(ia, ib)
         hi = np.maximum(ia, ib)
-        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
-                         "d2": pa.array(d2[a, b])})
+        cols = {"id_a": pa.array(lo), "id_b": pa.array(hi),
+                "d2": pa.array(d2[a, b])}
+        if carry_col is not None:
+            v = batch.column(carry_col).to_numpy(zero_copy_only=False)
+            swap = ia > ib  # align carried values with the (lo, hi) order
+            cols["va"] = pa.array(np.where(swap, v[b], v[ri][a]))
+            cols["vb"] = pa.array(np.where(swap, v[ri][a], v[b]))
+        return pa.table(cols)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)

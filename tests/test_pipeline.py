@@ -854,3 +854,103 @@ def test_buffered_contain_join_vs_brute_force(ray_session):
     assert any(p[:2] == (0, 0) for p in want)
     assert not any(p[:2] == (1, 0) for p in want)
     assert got == want
+
+
+def test_within_distance_pairs_carry_col_alignment(ray_session):
+    """carry_col rides the pair shuffle and stays aligned with
+    (id_a, id_b) even when the emit order was swapped to normalize
+    id_a < id_b."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages.partitioned import within_distance_pairs
+
+    rng = np.random.default_rng(41)
+    n = 300
+    x = rng.uniform(-20, 20, n)
+    y = rng.uniform(-10, 10, n)
+    ids = np.arange(n, dtype=np.int64)
+    vals = ids * 7 + 1  # recover expected value from the id
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "x": pa.array(x), "y": pa.array(y),
+                                 "v": pa.array(vals)}))
+    out = within_distance_pairs(ds, radius=1.0, carry_col="v").to_pandas()
+    assert len(out) > 0
+    assert (out.va == out.id_a * 7 + 1).all()
+    assert (out.vb == out.id_b * 7 + 1).all()
+
+
+def test_skyline_vs_brute_force(ray_session):
+    """Local skyline kernel + merge matches the O(n^2) dominance brute
+    force, including exact-duplicate points (both kept) and same-x
+    points (only the min-y survives)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.entry import _q_skyline_docs  # kernel reused via gate
+
+    rng = np.random.default_rng(42)
+    n = 800
+    x = rng.uniform(-100, 100, n)
+    y = rng.uniform(-50, 50, n)
+    # planted: exact duplicates at a frontier point, and a same-x pair
+    x[0], y[0] = -100.5, -50.5
+    x[1], y[1] = -100.5, -50.5     # duplicate of the frontier point
+    x[2], y[2] = -100.5, -49.0     # same x, larger y -> dominated
+    ids = np.arange(n, dtype=np.int64)
+
+    dom = ((x[None, :] <= x[:, None]) & (y[None, :] <= y[:, None])
+           & ((x[None, :] < x[:, None]) | (y[None, :] < y[:, None])))
+    want = sorted(ids[~dom.any(axis=1)])
+    assert 0 in want and 1 in want and 2 not in want
+
+    # drive the same kernel through the Dataset path used by the gate
+    import locus_ray.entry as entry_mod
+
+    class FakeTables:
+        @staticmethod
+        def docs_geo(sf_dir, extra_columns=()):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(ids), "x": pa.array(x), "y": pa.array(y),
+            })).repartition(8)
+
+    real = entry_mod.tables if hasattr(entry_mod, "tables") else None
+    import locus_ray.sources.tables as tables_mod
+    orig = tables_mod.docs_geo
+    tables_mod.docs_geo = FakeTables.docs_geo
+    try:
+        out = _q_skyline_docs("unused").to_pandas()
+    finally:
+        tables_mod.docs_geo = orig
+    assert sorted(out.doc_id) == want
+
+
+def test_morans_i_vs_float_reference(ray_session):
+    """The integer-exact distributed Moran's I equals the textbook
+    float formula to rounding, and its integer partials are exact."""
+    from locus_ray.entry import MORAN_EPS, _q_morans_i
+    from tests.conftest import SF
+
+    out = _q_morans_i(SF)
+    n = int(out["n"][0])
+    p = int(out["n_pairs"][0])
+    got = float(out["moran_i"][0])
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    import locus_ray.derive as derive
+
+    d = con.execute(f"SELECT doc_id, x, y FROM ({derive.sql_docs_geo()})").df()
+    v = con.execute("SELECT n_chars FROM documents ORDER BY doc_id").df()["n_chars"].to_numpy()
+    x, y = d.sort_values("doc_id")["x"].to_numpy(), d.sort_values("doc_id")["y"].to_numpy()
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    w = (dx * dx + dy * dy <= MORAN_EPS * MORAN_EPS)
+    np.fill_diagonal(w, False)
+    W = w.sum()
+    assert p * 2 == W and n == len(x)
+    z = v - v.mean()
+    ref = (n / W) * (w * z[:, None] * z[None, :]).sum() / (z * z).sum()
+    assert np.isclose(got, ref, rtol=1e-12)
