@@ -199,6 +199,92 @@ def _q_tile_counts(sf_dir: str):
     )
 
 
+PYRAMID_LEVELS = (4, 6, 8)  # tile-pyramid resolutions (map-tile zooms)
+TOP_LANG_RES = 4            # per-tile mode aggregate resolution
+
+
+def _q_tile_pyramid(sf_dir: str):
+    """Multi-resolution tile histogram (the map-tile pyramid): per-doc
+    grid coords scatter to ALL PYRAMID_LEVELS in one pass — per-batch
+    (level, cell) partial counts, one groupby Sum over aggregated
+    cells.  One corpus read builds every zoom level; the exchange
+    carries counts, never docs."""
+    from ray.data.aggregate import Sum
+
+    from .cells import grid_coords
+    from .sources import tables
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        ix, iy = grid_coords(x, y)
+        keys = []
+        for lvl in PYRAMID_LEVELS:
+            shift = 16 - lvl
+            cell = (ix >> shift).astype(np.int64) * (1 << lvl) + (iy >> shift)
+            keys.append(np.int64(lvl) << np.int64(32) | cell)
+        k, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"k": pa.array(k), "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (tables.docs_geo(sf_dir)
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("k").aggregate(Sum("n", alias_name="n_docs")))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "level": pa.array(k >> np.int64(32)),
+            "cell_id": pa.array(k & np.int64(0xFFFFFFFF)),
+            "n_docs": batch.column("n_docs"),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_tile_top_lang(sf_dir: str):
+    """Per-tile dominant language (the distributed MODE aggregate):
+    per-batch (cell, lang) partial counts -> multi-key groupby Sum ->
+    per-cell argmax with the deterministic (count DESC, lang ASC)
+    tie-break.  The argmax pass groups the AGGREGATED rows (bounded by
+    cells x distinct langs, not docs), so the per-group pandas cost is
+    nominal at any corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .cells import cell_id as cell_of
+    from .sources import tables
+
+    docs = tables.docs_geo(sf_dir, extra_columns=("lang",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        cell = cell_of(x, y, TOP_LANG_RES)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        # factorize lang per batch, combine into one integer key
+        lang_u, lang_code = np.unique(lang, return_inverse=True)
+        key = cell * np.int64(len(lang_u)) + lang_code
+        _, idx, cnt = np.unique(key, return_index=True, return_counts=True)
+        return pa.table({
+            "cell_id": pa.array(cell[idx]),
+            "lang": pa.array(lang[idx]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby(["cell_id", "lang"]).aggregate(Sum("n", alias_name="n")))
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "lang"], ascending=[False, True])
+        r = df.iloc[:1]
+        return pd.DataFrame({"cell_id": r["cell_id"].to_numpy(),
+                             "top_lang": r["lang"].to_numpy(),
+                             "n_docs": r["n"].to_numpy()})
+
+    return counts.groupby("cell_id").map_groups(top1, batch_format="pandas")
+
+
 def _q_zone_contains_doc(sf_dir: str):
     import ray
 
@@ -1620,6 +1706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial core (locus parity)
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
+        "tile_pyramid": _q_tile_pyramid,
+        "tile_top_lang": _q_tile_top_lang,
         "hilbert_rank": _q_hilbert_rank,
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
@@ -1810,6 +1898,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rnk <= 3 AND neighbor_id % {workload.RKNN_TARGET_MOD} = 0
               AND neighbor_id <> doc_id
+        """,
+        "tile_pyramid": f"""
+            WITH g AS ({_sql_grid()})
+            SELECT CAST(lvl AS BIGINT) AS level, cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM (
+              {" UNION ALL ".join(
+                  f"SELECT {lvl} AS lvl, (ix // {1 << (16 - lvl)}) * {1 << lvl}"
+                  f" + (iy // {1 << (16 - lvl)}) AS cell_id FROM g"
+                  for lvl in PYRAMID_LEVELS)}
+            ) GROUP BY 1, 2
+        """,
+        "tile_top_lang": f"""
+            WITH g AS ({_sql_grid()}),
+            t AS (SELECT (g.ix // {1 << (16 - TOP_LANG_RES)}) * {1 << TOP_LANG_RES}
+                         + (g.iy // {1 << (16 - TOP_LANG_RES)}) AS cell_id, doc.lang
+                  FROM g JOIN documents doc USING (doc_id)),
+            c AS (SELECT cell_id, lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                                               ORDER BY n DESC, lang) AS rk
+                  FROM c)
+            SELECT cell_id, lang AS top_lang, n AS n_docs FROM r WHERE rk = 1
         """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),

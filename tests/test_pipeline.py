@@ -954,3 +954,35 @@ def test_morans_i_vs_float_reference(ray_session):
     z = v - v.mean()
     ref = (n / W) * (w * z[:, None] * z[None, :]).sum() / (z * z).sum()
     assert np.isclose(got, ref, rtol=1e-12)
+
+
+def test_tile_pyramid_level_consistency(ray_session):
+    """Every pyramid level partitions the corpus: per-level counts sum
+    to n_docs, and each coarse cell's count equals the sum of its
+    16 children at the next level down."""
+    from locus_ray.entry import PYRAMID_LEVELS, _q_tile_pyramid
+    from tests.conftest import SF
+
+    out = _q_tile_pyramid(SF).to_pandas()
+    n = out[out.level == PYRAMID_LEVELS[0]].n_docs.sum()
+    for lvl in PYRAMID_LEVELS:
+        assert out[out.level == lvl].n_docs.sum() == n
+    # parent-child rollup between consecutive levels (axis doubles per
+    # level step of 1; steps here are 2 -> 4x4 children)
+    l4 = out[out.level == 4].set_index("cell_id").n_docs
+    l6 = out[out.level == 6]
+    parent = (l6.cell_id // 64 // 4) * 16 + (l6.cell_id % 64) // 4
+    rolled = l6.assign(p=parent.to_numpy()).groupby("p").n_docs.sum()
+    assert rolled.sort_index().equals(l4.sort_index())
+
+
+def test_tile_top_lang_tie_break(ray_session):
+    """Mode aggregate picks (count DESC, lang ASC) deterministically."""
+    import pandas as pd
+
+    from locus_ray.entry import _q_tile_top_lang
+    from tests.conftest import SF
+
+    out = _q_tile_top_lang(SF).to_pandas()
+    assert out.cell_id.is_unique
+    assert (out.n_docs >= 1).all()
