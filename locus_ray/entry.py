@@ -702,6 +702,71 @@ def _ann_queries(sf_dir: str) -> dict[str, np.ndarray]:
     return {"query_id": vec_id[mask].astype(np.int64), "matrix": m[mask]}
 
 
+LABEL_QUERY_MOD = 20  # knn-classifier eval queries: vec_id % 20 == 0
+LABEL_K = 5           # neighbors voting on the label
+
+
+def _q_knn_label_accuracy(sf_dir: str):
+    """kNN-classifier label evaluation (label-noise detection): for
+    each query embedding, the majority label of its LABEL_K nearest
+    non-self neighbors vs its true label.
+
+    Scale shape: the corpus streams once through the CosineTopKActor
+    pool with the label riding each candidate row (carry_cols — no
+    label join-back); the actor keeps k+1 partial candidates so
+    dropping the self row never starves the top-k; the vote groups
+    Q x k candidate rows only.  (The query-side read materializes one
+    driver-side slice, same pattern as _ann_queries.)"""
+    import pandas as pd
+    import ray
+
+    from .sources import tables
+    from .stages.ann import CosineTopKActor
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    vec_id = t.column("vec_id").to_numpy()
+    mask = (vec_id % LABEL_QUERY_MOD) == 0
+    flat = t.column("embedding").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    m = flat.reshape(len(vec_id), -1)
+    queries = {"query_id": vec_id[mask].astype(np.int64), "matrix": m[mask]}
+    true_label = dict(zip(vec_id[mask].astype(int),
+                          t.column("label").to_numpy()[mask].astype(int)))
+
+    ds = tables.read_table(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding", "label"])
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"queries_ref": ref, "k": LABEL_K + 1,
+                               "carry_cols": ("label",)},
+        concurrency=actor_pool(), batch_size=8192,
+    )
+
+    def non_self(batch: pa.Table) -> pa.Table:
+        keep = (batch.column("vec_id").to_numpy()
+                != batch.column("query_id").to_numpy())
+        return batch.filter(pa.array(keep))
+
+    cand = partials.map_batches(non_self, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"],
+                          ascending=[False, True]).head(LABEL_K)
+        counts = (g.groupby("label").size().reset_index(name="n")
+                  .sort_values(["n", "label"], ascending=[False, True]))
+        pred = int(counts.iloc[0]["label"])
+        qid = int(g["query_id"].iloc[0])
+        tl = int(true_label[qid])
+        return pd.DataFrame({"query_id": [qid], "true_label": [tl],
+                             "pred_label": [pred],
+                             "correct": [int(pred == tl)]})
+
+    return cand.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
 def _q_ann_cosine(sf_dir: str):
     from .sources import tables
     from .stages import ann
@@ -1499,6 +1564,49 @@ def _q_span_texts(sf_dir: str):
         explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_span_dedup(sf_dir: str):
+    """Exact dedup of the exploded TEXT-span stream (the span-level
+    sibling of dedup_exact — boilerplate spans repeat across docs):
+    one row per distinct span text with its smallest-(doc, pos) owner
+    and copy count.  Per-batch combine (lexsort run-length min/count
+    over the composite owner key) -> one groupby over DISTINCT span
+    texts; the exchange carries (text, owner, n) partials, never the
+    span stream."""
+    from ray.data.aggregate import Min, Sum
+
+    stream = _q_span_texts(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_key").to_numpy(zero_copy_only=False)
+        pos = batch.column("span_pos").to_numpy(zero_copy_only=False)
+        owner = doc * np.int64(1 << 20) + pos
+        uniq, inv, cnt = np.unique(text, return_inverse=True,
+                                   return_counts=True)
+        omin = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(omin, inv, owner)
+        return pa.table({"text": pa.array(uniq),
+                         "o": pa.array(omin),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (stream.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("text").aggregate(Min("o", alias_name="o"),
+                                      Sum("n", alias_name="n_copies")))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        o = batch.column("o").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "text": batch.column("text"),
+            "owner_doc": pa.array(o >> np.int64(20)),
+            "owner_pos": pa.array(o & np.int64((1 << 20) - 1)),
+            "n_copies": batch.column("n_copies"),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 _STRATUM_K = 2  # docs kept per tile by the stratified sampler
 
 
@@ -1747,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "ann_cosine": _q_ann_cosine,
+        "knn_label_accuracy": _q_knn_label_accuracy,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embed_dup_pairs": _q_embed_dup_pairs,
@@ -1758,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_docs_self": _q_knn_docs_self,
         "span_stats": _q_span_stats,
         "span_texts": _q_span_texts,
+        "span_dedup": _q_span_dedup,
         "sample_per_tile": _q_sample_per_tile,
         "chars_quantiles": _q_chars_quantiles,
         "within_dist_pairs": _q_within_dist_pairs,
@@ -1940,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "span_stats": oracles.span_stats_sql(_SPAN_DOCS),
         "span_texts": oracles.span_texts_sql(_SPAN_DOCS),
+        "span_dedup": oracles.span_dedup_sql(_SPAN_DOCS),
         "sample_per_tile": f"""
             WITH g AS ({_sql_grid()}),
             t AS (SELECT doc_id,
@@ -2158,6 +2269,26 @@ def oracle_sql() -> dict[str, str]:
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
                   FROM s)
             SELECT query_id, vec_id, rnk FROM r WHERE rnk <= {workload.ANN_K}
+        """,
+        "knn_label_accuracy": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS tl
+                       FROM embeddings WHERE vec_id % {LABEL_QUERY_MOD} = 0),
+            s AS (SELECT q.query_id, q.tl, e.vec_id, e.label,
+                         list_cosine_similarity(e.embedding, q.qe) AS c
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> q.query_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY c DESC, vec_id) AS rnk
+                  FROM s),
+            v AS (SELECT query_id, tl, label, COUNT(*) AS n
+                  FROM r WHERE rnk <= {LABEL_K} GROUP BY 1, 2, 3),
+            w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY n DESC, label) AS rk
+                  FROM v)
+            SELECT query_id, CAST(tl AS BIGINT) AS true_label,
+                   CAST(label AS BIGINT) AS pred_label,
+                   CAST(CASE WHEN label = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+            FROM w WHERE rk = 1
         """,
         "events_hourly": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n_events

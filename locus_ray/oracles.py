@@ -270,6 +270,21 @@ def span_texts_sql(n_docs: int) -> str:
     """
 
 
+def span_dedup_sql(n_docs: int) -> str:
+    """Exact text-span dedup with smallest-(doc, pos) owner (mirrors
+    entry._q_span_dedup: owner key = doc_key * 2^20 + span_pos)."""
+    return f"""
+    WITH {_span_cte(n_docs)}
+    SELECT text,
+           CAST(o // 1048576 AS BIGINT) AS owner_doc,
+           CAST(o % 1048576 AS BIGINT) AS owner_pos,
+           n_copies
+    FROM (SELECT text, MIN(id * 1048576 + local) AS o,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM sp WHERE kc = 0 GROUP BY text)
+    """
+
+
 # ---------------------------------------------------------------------------
 # tile_index_stats — packed-R-tree structural metrics from group size
 # ---------------------------------------------------------------------------

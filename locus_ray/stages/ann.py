@@ -41,16 +41,17 @@ def _partial_topk_rows(sims: np.ndarray, ids: np.ndarray, qid: np.ndarray,
     the small final merge resolves them.  ``floor`` drops sentinel
     scores (e.g. IVF non-member padding) before the tie sweep.
 
-    Returns (query_id, id, score) row triples.
+    Returns (query_id, id, score, source_row) quadruples — source_row
+    indexes the batch so callers can gather carried columns directly.
     """
     kk = min(k, sims.shape[0])
     if kk == 0:
         e = np.empty(0, dtype=np.int64)
-        return e, e.copy(), np.empty(0, dtype=np.float64)
+        return e, e.copy(), np.empty(0, dtype=np.float64), e.copy()
     part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
     kth = np.take_along_axis(sims, part, axis=0).min(axis=0)  # (q,)
     rows, cols = np.nonzero((sims >= kth[None, :]) & (sims > floor))
-    return qid[cols], ids[rows], sims[rows, cols]
+    return qid[cols], ids[rows], sims[rows, cols], rows
 
 
 class CosineTopKActor:
@@ -62,13 +63,18 @@ class CosineTopKActor:
     """
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding",
+                 carry_cols: tuple[str, ...] = ()):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qid = np.asarray(q["query_id"], dtype=np.int64)
         qm = np.asarray(q["matrix"], dtype=np.float64)
         self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
+        # extra streaming-side scalars (e.g. a label) emitted with each
+        # candidate row — they ride the existing stream instead of
+        # being joined back afterwards
+        self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _as_matrix(batch.column(self.vec_col))
@@ -77,12 +83,17 @@ class CosineTopKActor:
         sims = (m / norms) @ self.qm.T  # (n, q)
         ids = batch.column(self.id_col).to_numpy()
         # per-query partial top-k within this batch, ties included
-        qcol, icol, scol = _partial_topk_rows(sims, ids, self.qid, self.k)
-        return pa.table({
+        qcol, icol, scol, srow = _partial_topk_rows(sims, ids, self.qid, self.k)
+        cols = {
             "query_id": pa.array(qcol),
             self.id_col: pa.array(icol),
             "cosine": pa.array(scol),
-        })
+        }
+        if self.carry_cols:
+            rows = pa.array(srow)
+            for c in self.carry_cols:
+                cols[c] = batch.column(c).take(rows)
+        return pa.table(cols)
 
 
 def cosine_topk(ds, queries: dict[str, np.ndarray], k: int,
@@ -183,7 +194,7 @@ def ivf_topk(ds, queries: dict[str, np.ndarray],
             sims = (m / norms) @ self.qm.T
             sims = np.where(member, sims, -2.0)
             ids = batch.column(id_col).to_numpy()
-            qcol, icol, scol = _partial_topk_rows(
+            qcol, icol, scol, _ = _partial_topk_rows(
                 sims, ids, self.qid, self.k, floor=-1.5)  # drop non-member pad
             return pa.table({
                 "query_id": pa.array(qcol),
@@ -373,7 +384,7 @@ def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (m / norms) @ self.qm.T
-            qcol, icol, scol = _partial_topk_rows(sims, ids, self.qid, self.k)
+            qcol, icol, scol, _ = _partial_topk_rows(sims, ids, self.qid, self.k)
             return pa.table({
                 "query_id": pa.array(qcol),
                 id_col: pa.array(icol),

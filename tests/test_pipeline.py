@@ -986,3 +986,45 @@ def test_tile_top_lang_tie_break(ray_session):
     out = _q_tile_top_lang(SF).to_pandas()
     assert out.cell_id.is_unique
     assert (out.n_docs >= 1).all()
+
+
+def test_cosine_topk_carry_cols_alignment(ray_session):
+    """carry_cols rides the candidate stream aligned with vec_id."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from locus_ray.stages.ann import CosineTopKActor
+
+    rng = np.random.default_rng(51)
+    m = rng.standard_normal((400, 16))
+    ids = np.arange(400, dtype=np.int64)
+    labels = ids * 3 + 2
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids), "embedding": list(m.astype(np.float32)),
+        "label": pa.array(labels),
+    }))
+    ref = ray.put({"query_id": np.array([5, 9]), "matrix": m[[5, 9]]})
+    out = ds.map_batches(
+        CosineTopKActor, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs={"queries_ref": ref, "k": 4,
+                               "carry_cols": ("label",)},
+        concurrency=2, batch_size=64,
+    ).to_pandas()
+    assert len(out) >= 8
+    assert (out.label == out.vec_id * 3 + 2).all()
+
+
+def test_span_dedup_owner_and_counts(ray_session):
+    """span_dedup's owners/counts match a pandas brute force over the
+    exploded span stream."""
+    from locus_ray.entry import _q_span_dedup, _q_span_texts
+
+    stream = _q_span_texts("").to_pandas()
+    out = _q_span_dedup("").to_pandas().set_index("text").sort_index()
+
+    grp = stream.assign(owner=stream.doc_key * (1 << 20) + stream.span_pos)
+    want = grp.groupby("text").agg(o=("owner", "min"), n=("owner", "size"))
+    assert (out.n_copies.to_numpy() == want.sort_index().n.to_numpy()).all()
+    assert (out.owner_doc.to_numpy() == (want.sort_index().o // (1 << 20)).to_numpy()).all()
+    assert (out.owner_pos.to_numpy() == (want.sort_index().o % (1 << 20)).to_numpy()).all()
