@@ -132,6 +132,45 @@ def _sql_seg_intersects(asx, asy, aex, aey, bsx, bsy, bex, bey) -> str:
     return f"({proper} OR {touch})"
 
 
+def _sql_segseg_d2_generic(a, b) -> str:
+    """Generic SQL segment-segment squared distance over two
+    coordinate-expression 4-tuples ``a = (sx, sy, ex, ey)`` and ``b``
+    — mirrors kernels.segments_squared_distance (0 when intersecting,
+    closed; else LEAST of the four endpoint-to-segment distances,
+    min is order-exact)."""
+    asx, asy, aex, aey = a
+    bsx, bsy, bex, bey = b
+    inter = _sql_seg_intersects(asx, asy, aex, aey, bsx, bsy, bex, bey)
+    dmin = (f"LEAST({_p2s(asx, asy, bsx, bsy, bex, bey)},"
+            f" {_p2s(aex, aey, bsx, bsy, bex, bey)},"
+            f" {_p2s(bsx, bsy, asx, asy, aex, aey)},"
+            f" {_p2s(bex, bey, asx, asy, aex, aey)})")
+    return f"CASE WHEN {inter} THEN 0.0 ELSE {dmin} END"
+
+
+def _sql_box_seg_d2(z: str, s: str) -> str:
+    """SQL P8 box-segment squared distance between rows aliased ``z``
+    (min_x..max_y) and ``s`` (start_x..end_y) — mirrors
+    kernels.box_segment_squared_distance: 0 if an endpoint is in the
+    closed box, else LEAST of the four edge-to-segment distances."""
+    seg = (f"{s}.start_x", f"{s}.start_y", f"{s}.end_x", f"{s}.end_y")
+    inside = (
+        f"(({s}.start_x >= {z}.min_x AND {s}.start_x <= {z}.max_x"
+        f" AND {s}.start_y >= {z}.min_y AND {s}.start_y <= {z}.max_y)"
+        f" OR ({s}.end_x >= {z}.min_x AND {s}.end_x <= {z}.max_x"
+        f" AND {s}.end_y >= {z}.min_y AND {s}.end_y <= {z}.max_y))"
+    )
+    edges = (
+        (f"{z}.min_x", f"{z}.min_y", f"{z}.max_x", f"{z}.min_y"),
+        (f"{z}.max_x", f"{z}.min_y", f"{z}.max_x", f"{z}.max_y"),
+        (f"{z}.max_x", f"{z}.max_y", f"{z}.min_x", f"{z}.max_y"),
+        (f"{z}.min_x", f"{z}.max_y", f"{z}.min_x", f"{z}.min_y"),
+    )
+    dmin = "LEAST(" + ", ".join(
+        f"({_sql_segseg_d2_generic(e, seg)})" for e in edges) + ")"
+    return f"CASE WHEN {inside} THEN 0.0 ELSE {dmin} END"
+
+
 def _sql_box_seg_intersects(z: str, s: str) -> str:
     """SQL closed box-segment intersection predicate between rows
     aliased ``z`` (min_x..max_y) and ``s`` (start_x..end_y) — mirrors
@@ -375,6 +414,20 @@ def _q_zone_seg_overlap(sf_dir: str):
 
     return box_segment_overlap_join(
         tables.zones_ds(sf_dir), tables.segments_ds(sf_dir), res=6)
+
+
+K_BOX_SEGMENTS = 3  # box -> segment kNN gate
+
+
+def _q_zone_knn_segments(sf_dir: str):
+    """Box -> segment kNN by P8 distance (the reference's segmental
+    n_nearest vs a box query, distributed): k nearest streaming
+    segments per broadcast query box, (d2, id) tie-break."""
+    from .sources import tables
+    from .stages import spatial
+
+    return spatial.knn_segments_to_boxes(
+        tables.segments_ds(sf_dir), workload.QUERY_BOXES, k=K_BOX_SEGMENTS)
 
 
 def _q_reverse_knn(sf_dir: str):
@@ -967,6 +1020,220 @@ def _q_spatial_clusters(sf_dir: str):
     return connected_components(
         _q_within_dist_pairs(sf_dir), a_col="id_a", b_col="id_b",
         id_out="doc_id", comp_out="cluster")
+
+
+DBSCAN_MIN_PTS = 3  # core point: >= 3 neighbors (self excluded) within eps
+
+
+def _q_dbscan(sf_dir: str):
+    """Full DBSCAN (core / border / noise) at ``CLUSTER_EPS`` with
+    ``DBSCAN_MIN_PTS`` — the min_pts upgrade of the single-linkage
+    ``spatial_clusters``.
+
+    Distributed composition over ONE radius self-join, entirely
+    JOIN-FREE: every attach is the union + groupby(key) + map_groups
+    idiom (one hash exchange each — same shape as a hash join, but
+    immune to two Ray 2.49 hash-join hazards this pipeline hits: a
+    left side of mostly-EMPTY blocks raises ArrowInvalid in the
+    aggregator, and chained JoinOperators deadlock at small
+    ``num_cpus`` because each reserves aggregator CPUs while upstream
+    stages hold the rest).  Steps: (1) degrees by counting pair
+    endpoints (groupby Sum); (2) degree attaches to each endpoint via
+    two keyed union-group passes, classifying core-core vs border-core
+    edges block-locally; (3) connected components over core-core edges
+    plus core SELF-LOOPS (isolated cores still form singleton
+    clusters); (4) border docs take the MIN component among their core
+    neighbors (deterministic where classic DBSCAN is
+    arrival-order-dependent).  Noise emits no row.  Group sizes are
+    bounded by per-doc degree — the same skew envelope as the radius
+    join itself."""
+    from ray.data.aggregate import Min, Sum
+
+    from .sources import tables
+    from .stages.dedup import connected_components
+    from .stages.partitioned import within_distance_pairs
+
+    pairs = within_distance_pairs(
+        tables.docs_geo(sf_dir), radius=CLUSTER_EPS).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch.column("id_a").to_numpy(zero_copy_only=False),
+            batch.column("id_b").to_numpy(zero_copy_only=False)])
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg = (pairs.map_batches(deg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("doc_id").aggregate(Sum("n", alias_name="deg")))
+
+    # degree attach, pass 1 (key = id_a): deg rows carry other = -1
+    def pairs_keyed_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch.column("id_a"),
+                         "other": batch.column("id_b"),
+                         "deg": pa.array(np.full(len(batch), -1,
+                                                 dtype=np.int64))})
+
+    def deg_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch.column("doc_id"),
+                         "other": pa.array(np.full(len(batch), -1,
+                                                   dtype=np.int64)),
+                         "deg": batch.column("deg")})
+
+    def attach_a(batch: pa.Table) -> pa.Table:
+        other = batch.column("other").to_numpy(zero_copy_only=False)
+        dg = batch.column("deg").to_numpy(zero_copy_only=False)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        is_deg = other < 0
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "deg_a": pa.array([], type=pa.int64())})
+        if not is_deg.any() or is_deg.all():
+            return empty  # doc with degree row but no pair rows here
+        d = int(dg[is_deg][0])
+        pr = ~is_deg
+        n = int(pr.sum())
+        return pa.table({"id_a": pa.array(k[pr]),
+                         "id_b": pa.array(other[pr]),
+                         "deg_a": pa.array(np.full(n, d, dtype=np.int64))})
+
+    pa_pass = (pairs.map_batches(pairs_keyed_a, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .union(deg.map_batches(deg_keyed, batch_format="pyarrow"))
+               .groupby("k").map_groups(attach_a, batch_format="pyarrow"))
+
+    # degree attach, pass 2 (key = id_b); deg rows carry deg_a = -1
+    def pairs_keyed_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch.column("id_b"),
+                         "other": batch.column("id_a"),
+                         "deg_a": batch.column("deg_a"),
+                         "deg": pa.array(np.full(len(batch), -1,
+                                                 dtype=np.int64))})
+
+    def deg_keyed2(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"k": batch.column("doc_id"),
+                         "other": pa.array(np.full(n, -1, dtype=np.int64)),
+                         "deg_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                         "deg": batch.column("deg")})
+
+    def attach_b(batch: pa.Table) -> pa.Table:
+        other = batch.column("other").to_numpy(zero_copy_only=False)
+        dg = batch.column("deg").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        is_deg = other < 0
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "deg_a": pa.array([], type=pa.int64()),
+                          "deg_b": pa.array([], type=pa.int64())})
+        if not is_deg.any() or is_deg.all():
+            return empty
+        d = int(dg[is_deg][0])
+        pr = ~is_deg
+        n = int(pr.sum())
+        return pa.table({"id_a": pa.array(other[pr]),
+                         "id_b": pa.array(k[pr]),
+                         "deg_a": pa.array(da[pr]),
+                         "deg_b": pa.array(np.full(n, d, dtype=np.int64))})
+
+    p2 = (pa_pass.map_batches(pairs_keyed_b, batch_format="pyarrow",
+                              zero_copy_batch=True)
+          .union(deg.map_batches(deg_keyed2, batch_format="pyarrow"))
+          .groupby("k").map_groups(attach_b,
+                                   batch_format="pyarrow")).materialize()
+
+    def core_core(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        keep = pa.array((da >= DBSCAN_MIN_PTS) & (db >= DBSCAN_MIN_PTS))
+        f = batch.filter(keep)
+        return pa.table({"doc_a": f.column("id_a"), "doc_b": f.column("id_b")})
+
+    def border_core(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ca = batch.column("deg_a").to_numpy(zero_copy_only=False) >= DBSCAN_MIN_PTS
+        cb = batch.column("deg_b").to_numpy(zero_copy_only=False) >= DBSCAN_MIN_PTS
+        a_is_border = ~ca & cb
+        b_is_border = ca & ~cb
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ia[a_is_border], ib[b_is_border]])),
+            "core_id": pa.array(np.concatenate([ib[a_is_border], ia[b_is_border]])),
+        })
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch.column("deg").to_numpy(zero_copy_only=False)
+                        >= DBSCAN_MIN_PTS)
+        f = batch.filter(keep)
+        return pa.table({"doc_a": f.column("doc_id"),
+                         "doc_b": f.column("doc_id")})
+
+    cc_in = p2.map_batches(core_core, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+        deg.map_batches(self_loops, batch_format="pyarrow"))
+    comp = connected_components(cc_in).materialize()
+
+    # attach components to border edges WITHOUT Dataset.join: the
+    # border stream is mostly EMPTY blocks (it's a narrow filter of
+    # p2) and Ray 2.49's hash-shuffle join raises ArrowInvalid when a
+    # left partition assembles only from empty blocks.  The union +
+    # groupby(core_id) idiom has the same one-exchange shape and is
+    # immune: each group is one labeled core row plus that core's
+    # border edges.
+    def comp_as_union(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "core_id": batch.column("doc_id"),
+            "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),  # sentinel
+            "component": batch.column("component"),
+        })
+
+    def border_as_union(batch: pa.Table) -> pa.Table:
+        t = border_core(batch)
+        n = len(t)
+        return pa.table({
+            "core_id": t.column("core_id"),
+            "doc_id": t.column("doc_id"),
+            "component": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def attach(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cmp_ = batch.column("component").to_numpy(zero_copy_only=False)
+        lab_rows = did < 0
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "component": pa.array([], type=pa.int64())})
+        if not lab_rows.any() or lab_rows.all():
+            return empty
+        lab = int(cmp_[lab_rows][0])
+        borders = did[~lab_rows]
+        return pa.table({"doc_id": pa.array(borders),
+                         "component": pa.array(
+                             np.full(len(borders), lab, dtype=np.int64))})
+
+    border_lab = (comp.map_batches(comp_as_union, batch_format="pyarrow")
+                  .union(p2.map_batches(border_as_union,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))
+                  .groupby("core_id").map_groups(attach,
+                                                 batch_format="pyarrow")
+                  .groupby("doc_id")
+                  .aggregate(Min("component", alias_name="cluster")))
+
+    def as_role(role: int, cluster_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "cluster": batch.column(cluster_col),
+                "role": pa.array(np.full(len(batch), role, dtype=np.int64)),
+            })
+        return f
+
+    return comp.map_batches(as_role(0, "component"),
+                            batch_format="pyarrow").union(
+        border_lab.map_batches(as_role(1, "cluster"), batch_format="pyarrow"))
 
 
 def _q_knn_outliers(sf_dir: str):
@@ -1825,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seg_intersections": _q_seg_intersections,
         "zone_seg_overlap": _q_zone_seg_overlap,
         "reverse_knn": _q_reverse_knn,
+        "zone_knn_segments": _q_zone_knn_segments,
         "morans_i": _q_morans_i,
         "skyline_docs": _q_skyline_docs,
         "find_box_docs": _q_find_box_docs,
@@ -1873,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_dist_pairs": _q_within_dist_pairs,
         "zonal_stats": _q_zonal_stats,
         "spatial_clusters": _q_spatial_clusters,
+        "dbscan": _q_dbscan,
         "knn_outliers": _q_knn_outliers,
         "idw_interpolate": _q_idw_interpolate,
         "tile_smooth": _q_tile_smooth,
@@ -1968,6 +2237,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT z.zone_id, s.segment_id
             FROM z, s
             WHERE {_sql_box_seg_intersects('z', 's')}
+        """,
+        "zone_knn_segments": f"""
+            WITH s AS ({segs}),
+            scored AS (SELECT qb.query_id, s.segment_id,
+                              {_sql_box_seg_d2('qb', 's').replace(
+                                  'qb.min_x', 'qb.qmin_x').replace(
+                                  'qb.max_x', 'qb.qmax_x').replace(
+                                  'qb.min_y', 'qb.qmin_y').replace(
+                                  'qb.max_y', 'qb.qmax_y')} AS d2
+                       FROM {workload.sql_query_boxes()}, s),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY d2, segment_id) AS rnk
+                  FROM scored)
+            SELECT query_id, segment_id, rnk, d2 FROM r
+            WHERE rnk <= {K_BOX_SEGMENTS}
         """,
         "morans_i": f"""
             WITH g AS ({docs}),
@@ -2112,6 +2396,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.node
             )
             SELECT node AS doc_id, MIN(lab) AS cluster FROM cc GROUP BY node
+        """,
+        "dbscan": f"""
+            WITH RECURSIVE d AS ({docs}),
+            p AS (SELECT a.doc_id AS va, b.doc_id AS vb
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id
+                  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                        <= {derive.F(CLUSTER_EPS * CLUSTER_EPS)}),
+            e AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+            deg AS (SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM e GROUP BY a),
+            core AS (SELECT doc_id FROM deg WHERE n >= {DBSCAN_MIN_PTS}),
+            ce AS (SELECT e.a, e.b FROM e
+                   JOIN core ca ON e.a = ca.doc_id
+                   JOIN core cb ON e.b = cb.doc_id),
+            cc(node, lab) AS (
+              SELECT doc_id, doc_id FROM core
+              UNION
+              SELECT ce.b, cc.lab FROM cc JOIN ce ON ce.a = cc.node
+            ),
+            corelab AS (SELECT node AS doc_id, MIN(lab) AS cluster
+                        FROM cc GROUP BY node),
+            border AS (SELECT e.a AS doc_id, MIN(cl.cluster) AS cluster
+                       FROM e JOIN corelab cl ON e.b = cl.doc_id
+                       WHERE e.a NOT IN (SELECT doc_id FROM core)
+                       GROUP BY e.a)
+            SELECT doc_id, cluster, CAST(0 AS BIGINT) AS role FROM corelab
+            UNION ALL
+            SELECT doc_id, cluster, CAST(1 AS BIGINT) AS role FROM border
         """,
         "knn_outliers": f"""
             WITH d AS ({docs}),

@@ -244,6 +244,57 @@ def find_in_boxes(ds, query_boxes: dict[str, np.ndarray],
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def knn_segments_to_boxes(ds, query_boxes: dict[str, np.ndarray], k: int,
+                          id_col: str = "segment_id"):
+    """Box -> segment kNN (P8 distance ranking): for each broadcast
+    query box, the ``k`` nearest streaming segments by
+    ``box_segment_squared_distance``, deterministic (d2, id) order.
+
+    Same shape as the cosine top-k: per-batch vectorized partial top-k
+    with kth-boundary ties kept (equal-distance candidates must reach
+    the merge or the smallest-id tie-break diverges), then one tiny
+    ``groupby(query_id)`` merge."""
+    from ..kernels import box_segment_squared_distance
+
+    qid = np.asarray(query_boxes["query_id"], dtype=np.int64)
+    mnx = np.asarray(query_boxes["min_x"], dtype=np.float64)
+    mxx = np.asarray(query_boxes["max_x"], dtype=np.float64)
+    mny = np.asarray(query_boxes["min_y"], dtype=np.float64)
+    mxy = np.asarray(query_boxes["max_y"], dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # (segments, queries) P8 distance matrix
+        d2 = box_segment_squared_distance(
+            mnx[None, :], mxx[None, :], mny[None, :], mxy[None, :],
+            sx[:, None], sy[:, None], ex[:, None], ey[:, None])
+        kk = min(k, d2.shape[0])
+        if kk == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.float64())})
+        part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+        kth = np.take_along_axis(d2, part, axis=0).max(axis=0)  # (q,)
+        rows, cols = np.nonzero(d2 <= kth[None, :])
+        return pa.table({"query_id": pa.array(qid[cols]),
+                         id_col: pa.array(ids[rows]),
+                         "d2": pa.array(d2[rows, cols])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group):
+        g = group.sort_values(["d2", id_col]).head(k).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", id_col, "rnk", "d2"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def _box_vs_queries(ds, query_boxes: dict[str, np.ndarray], mode: str,
                     id_col: str = "zone_id"):
     qid = np.asarray(query_boxes["query_id"], dtype=np.int64)

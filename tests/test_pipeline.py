@@ -1028,3 +1028,95 @@ def test_span_dedup_owner_and_counts(ray_session):
     assert (out.n_copies.to_numpy() == want.sort_index().n.to_numpy()).all()
     assert (out.owner_doc.to_numpy() == (want.sort_index().o // (1 << 20)).to_numpy()).all()
     assert (out.owner_pos.to_numpy() == (want.sort_index().o % (1 << 20)).to_numpy()).all()
+
+
+def test_knn_segments_to_boxes_vs_brute_force(ray_session):
+    """Box->segment kNN matches a P8 brute force with the (d2, id)
+    tie-break, including segments inside the box (d2 == 0 ties broken
+    by smallest id)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.kernels import box_segment_squared_distance
+    from locus_ray.stages.spatial import knn_segments_to_boxes
+
+    rng = np.random.default_rng(61)
+    n = 400
+    sx = rng.uniform(-170, 170, n)
+    sy = rng.uniform(-80, 80, n)
+    ex = sx + rng.uniform(-5, 5, n)
+    ey = sy + rng.uniform(-5, 5, n)
+    # three segments inside box 0 ([0,10]x[0,10]) -> d2==0 ties
+    for i, (a, b) in enumerate(((1.0, 2.0), (3.0, 4.0), (5.0, 6.0))):
+        sx[i], sy[i], ex[i], ey[i] = a, b, a + 1.0, b + 1.0
+    ids = np.arange(n, dtype=np.int64)
+    boxes = {"query_id": np.array([0, 1]),
+             "min_x": np.array([0.0, 50.0]), "max_x": np.array([10.0, 60.0]),
+             "min_y": np.array([0.0, -70.0]), "max_y": np.array([10.0, -60.0])}
+    ds = rd.from_arrow(pa.table({
+        "segment_id": pa.array(ids),
+        "start_x": pa.array(sx), "start_y": pa.array(sy),
+        "end_x": pa.array(ex), "end_y": pa.array(ey),
+    })).repartition(6)
+    k = 3
+    out = knn_segments_to_boxes(ds, boxes, k=k).to_pandas()
+    for qi in (0, 1):
+        d2 = box_segment_squared_distance(
+            boxes["min_x"][qi], boxes["max_x"][qi],
+            boxes["min_y"][qi], boxes["max_y"][qi], sx, sy, ex, ey)
+        exp = np.lexsort((ids, d2))[:k]
+        g = out[out.query_id == qi].sort_values("rnk")
+        assert np.array_equal(g.segment_id.to_numpy(), ids[exp])
+        assert np.array_equal(g.d2.to_numpy(), d2[exp])
+    assert np.array_equal(
+        out[out.query_id == 0].sort_values("rnk").segment_id.to_numpy(),
+        np.array([0, 1, 2]))
+
+
+def test_dbscan_vs_reference(ray_session):
+    """Distributed DBSCAN matches a driver-side reference (degree
+    count, core union-find, border = min core-neighbor cluster)."""
+    import duckdb
+
+    from locus_ray.derive import sql_docs_geo
+    from locus_ray.entry import CLUSTER_EPS, DBSCAN_MIN_PTS, _q_dbscan
+    from tests.conftest import SF
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    d = con.execute(f"SELECT doc_id, x, y FROM ({sql_docs_geo()}) ORDER BY doc_id").df()
+    ids = d.doc_id.to_numpy()
+    x, y = d.x.to_numpy(), d.y.to_numpy()
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    adj = (dx * dx + dy * dy <= CLUSTER_EPS * CLUSTER_EPS)
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(axis=1)
+    core = deg >= DBSCAN_MIN_PTS
+
+    parent = {int(i): int(i) for i in ids[core]}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    ci = np.nonzero(core)[0]
+    for a in ci:
+        for b in np.nonzero(adj[a] & core)[0]:
+            ra, rb = find(int(ids[a])), find(int(ids[b]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in ci:
+        want[int(ids[i])] = (find(int(ids[i])), 0)
+    for i in np.nonzero(~core)[0]:
+        nb = np.nonzero(adj[i] & core)[0]
+        if len(nb):
+            want[int(ids[i])] = (min(find(int(ids[j])) for j in nb), 1)
+
+    out = _q_dbscan(SF).to_pandas()
+    got = {int(r.doc_id): (int(r.cluster), int(r.role))
+           for r in out.itertuples()}
+    assert got == want
