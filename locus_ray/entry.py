@@ -1501,6 +1501,52 @@ def _q_sample_docs(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_source_stats(sf_dir: str):
+    """Per-source corpus rollup (provenance accounting): doc count,
+    exact integer char sum, and DISTINCT language count per source.
+    Distinct-count is exact via the two-level aggregate (groupby
+    (source, lang) first — the exchange carries one row per observed
+    pair, never docs)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .sources import tables
+
+    docs = tables.read_table(sf_dir, "documents",
+                             columns=["source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = batch.column("source")
+        lang = batch.column("lang")
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        key = pc.binary_join_element_wise(src, lang, "\x1f")
+        k = key.to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(k, return_inverse=True,
+                                   return_counts=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, nch)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(k) - 1, -1, -1)
+        return pa.table({
+            "source": src.take(pa.array(first)),
+            "lang": lang.take(pa.array(first)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "chars": pa.array(sums),
+        })
+
+    pair_agg = (docs.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby(["source", "lang"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("chars", alias_name="chars")))
+
+    return (pair_agg.groupby("source")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("chars", alias_name="sum_chars"),
+                       Count(alias_name="n_langs")))
+
+
 def _q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: exact-dedup survivors
     (hash -> Min keep_id -> hash join back) filtered by quality
@@ -2017,6 +2063,80 @@ def _q_morans_i(sf_dir: str):
                          "den": [den], "moran_i": [float(moran_i)]})
 
 
+def _q_hotspot_gi(sf_dir: str):
+    """Getis-Ord Gi* hot-spot z-scores of ``n_chars`` under binary
+    distance-band weights within ``MORAN_EPS`` (self INCLUDED — the
+    star variant), the per-location sibling of Moran's I.
+
+    All sums are exact integers: the corpus moments (N, S1, S2) come
+    from one small aggregate, each doc's neighborhood (W_i, sum of
+    neighbor values) accumulates pair contributions from the radius
+    self-join (value rides the shuffle via carry_col) plus the self
+    term.  Only the final z-score is float — ONE fixed IEEE op
+    sequence mirrored verbatim in the SQL oracle (sqrt is
+    correctly-rounded per IEEE-754, so parity holds through it)."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+    from .stages.partitioned import within_distance_pairs
+
+    docs = tables.docs_geo(sf_dir, extra_columns=("n_chars",))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([len(v)]),
+                         "s1": pa.array([int(v.sum())]),
+                         "s2": pa.array([int((v * v).sum())])})
+
+    m = (docs.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+         .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                    Sum("s2", alias_name="s2")))
+    n, s1, s2 = int(m["n"]), int(m["s1"]), int(m["s2"])
+
+    pairs = within_distance_pairs(docs, radius=MORAN_EPS,
+                                  carry_col="n_chars")
+
+    def pair_contrib(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        va = batch.column("va").to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = batch.column("vb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ia, ib])),
+            "v": pa.array(np.concatenate([vb, va])),
+            "c": pa.array(np.ones(2 * len(ia), dtype=np.int64)),
+        })
+
+    def self_contrib(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "v": pa.array(v),
+                         "c": pa.array(np.ones(len(v), dtype=np.int64))})
+
+    w = (pairs.map_batches(pair_contrib, batch_format="pyarrow",
+                           zero_copy_batch=True)
+         .union(docs.map_batches(self_contrib, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+         .groupby("doc_id").aggregate(Sum("c", alias_name="w_i"),
+                                      Sum("v", alias_name="sumw")))
+
+    n_f, s1_f, s2_f = np.float64(n), np.float64(s1), np.float64(s2)
+    xbar = s1_f / n_f
+    s_ = np.sqrt(s2_f / n_f - xbar * xbar)
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        wi = batch.column("w_i").to_numpy(zero_copy_only=False)
+        sw = batch.column("sumw").to_numpy(zero_copy_only=False)
+        w_f = wi.astype(np.float64)
+        z = (sw.astype(np.float64) - xbar * w_f) / (
+            s_ * np.sqrt((n_f * w_f - w_f * w_f) / (n_f - 1.0)))
+        return batch.append_column("gi_z", pa.array(z))
+
+    return w.map_batches(zscore, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def _q_skyline_docs(sf_dir: str):
     """Skyline query (pareto frontier, minimize x and y): docs
     dominated by NO other doc (b dominates a iff b.x <= a.x and
@@ -2094,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_knn": _q_reverse_knn,
         "zone_knn_segments": _q_zone_knn_segments,
         "morans_i": _q_morans_i,
+        "hotspot_gi": _q_hotspot_gi,
         "skyline_docs": _q_skyline_docs,
         "find_box_docs": _q_find_box_docs,
         "zone_subsets": _q_zone_subsets,
@@ -2117,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
         "corpus_clean": _q_corpus_clean,
+        "source_stats": _q_source_stats,
         "sample_docs": _q_sample_docs,
         "simhash_docs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -2273,6 +2395,35 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(agg.n_pairs AS DOUBLE) * CAST(dn.den AS DOUBLE)) AS moran_i
             FROM s, agg, dn
         """,
+        "hotspot_gi": f"""
+            WITH g AS ({docs}),
+            d AS (SELECT g.doc_id, g.x, g.y, doc.n_chars
+                  FROM g JOIN documents doc USING (doc_id)),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(n_chars) AS BIGINT) AS s1,
+                         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2 FROM d),
+            p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                         a.n_chars AS va, b.n_chars AS vb
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id
+                  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                        <= {derive.F(MORAN_EPS * MORAN_EPS)}),
+            contrib AS (SELECT ia AS doc_id, vb AS v FROM p
+                        UNION ALL SELECT ib, va FROM p
+                        UNION ALL SELECT doc_id, n_chars FROM d),
+            w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS w_i,
+                         CAST(SUM(v) AS BIGINT) AS sumw
+                  FROM contrib GROUP BY doc_id)
+            SELECT doc_id, w_i, sumw,
+                   (CAST(sumw AS DOUBLE)
+                    - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)) * CAST(w_i AS DOUBLE))
+                   / (sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                           - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                             * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+                      * sqrt((CAST(s.n AS DOUBLE) * CAST(w_i AS DOUBLE)
+                              - CAST(w_i AS DOUBLE) * CAST(w_i AS DOUBLE))
+                             / (CAST(s.n AS DOUBLE) - 1.0e0))) AS gi_z
+            FROM w, s
+        """,
         "skyline_docs": f"""
             WITH d AS ({docs})
             SELECT a.doc_id, a.x, a.y FROM d a
@@ -2330,6 +2481,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 < 100000
+        """,
+        "source_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
         """,
         "flagship_spans": oracles.flagship_spans_sql(n_docs=1000, k=3),
         "span_stats": oracles.span_stats_sql(_SPAN_DOCS),

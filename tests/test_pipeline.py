@@ -1120,3 +1120,36 @@ def test_dbscan_vs_reference(ray_session):
     got = {int(r.doc_id): (int(r.cluster), int(r.role))
            for r in out.itertuples()}
     assert got == want
+
+
+def test_hotspot_gi_vs_float_reference(ray_session):
+    """Distributed Gi* equals the textbook float formula to rounding."""
+    import duckdb
+
+    from locus_ray.derive import sql_docs_geo
+    from locus_ray.entry import MORAN_EPS, _q_hotspot_gi
+    from tests.conftest import SF
+
+    out = _q_hotspot_gi(SF).to_pandas().sort_values("doc_id")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    d = con.execute(f"""
+        SELECT g.doc_id, g.x, g.y, doc.n_chars
+        FROM ({sql_docs_geo()}) g JOIN documents doc USING (doc_id)
+        ORDER BY doc_id""").df()
+    x, y, v = d.x.to_numpy(), d.y.to_numpy(), d.n_chars.to_numpy().astype(float)
+    n = len(v)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    w = (dx * dx + dy * dy <= MORAN_EPS * MORAN_EPS)  # self included
+    wi = w.sum(axis=1)
+    sumw = (w * v[None, :]).sum(axis=1)
+    xbar = v.mean()
+    s = np.sqrt((v * v).mean() - xbar * xbar)
+    ref = (sumw - xbar * wi) / (s * np.sqrt((n * wi - wi * wi) / (n - 1.0)))
+    assert np.array_equal(out.w_i.to_numpy(), wi)
+    assert np.allclose(out.gi_z.to_numpy(), ref, rtol=1e-10)
+    # the hot CLUSTER inflates W_i but n_chars is spatially random, so
+    # z stays modest — the check is the formula, not significance
+    assert out.w_i.max() > 5 and out.w_i.min() == 1
