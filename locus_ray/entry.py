@@ -2177,6 +2177,57 @@ def _q_skyline_docs(sf_dir: str):
                          zero_copy_batch=True))
 
 
+def _q_tile_chars_median(sf_dir: str):
+    """GROUPED exact quantiles: per-tile median of ``n_chars`` via the
+    value-histogram method (the grouped sibling of chars_quantiles):
+    per-batch (cell, value, count) combine -> groupby(cell, value)
+    Sum -> per-cell order statistics over the AGGREGATED histogram
+    rows (bounded by distinct values per cell, not docs).  Median
+    interpolation is the same explicit float op pair the global gate
+    mirrors in SQL."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .cells import cell_id as cell_of
+    from .sources import tables
+
+    docs = tables.docs_geo(sf_dir, extra_columns=("n_chars",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        cell = cell_of(x, y, TOP_LANG_RES)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        key = cell * np.int64(1 << 20) + v
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cell_id": pa.array(uniq >> np.int64(20)),
+            "v": pa.array(uniq & np.int64((1 << 20) - 1)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby(["cell_id", "v"]).aggregate(Sum("c", alias_name="c")))
+
+    def median_of_cell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v")
+        cum = df["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = df["v"].to_numpy()
+
+        def kth(k: int) -> int:
+            return int(vals[np.searchsorted(cum, k)])
+
+        lo, hi = kth((n + 1) // 2), kth((n + 2) // 2)
+        med = (np.float64(lo) + np.float64(hi)) / np.float64(2.0)
+        return pd.DataFrame({"cell_id": [int(df["cell_id"].iloc[0])],
+                             "n_docs": [n], "median_chars": [float(med)]})
+
+    return hist.groupby("cell_id").map_groups(median_of_cell,
+                                              batch_format="pandas")
+
+
 def _q_flagship_spans(sf_dir: str):
     from .pipelines import flagship
 
@@ -2203,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": _q_tile_counts,
         "tile_pyramid": _q_tile_pyramid,
         "tile_top_lang": _q_tile_top_lang,
+        "tile_chars_median": _q_tile_chars_median,
         "hilbert_rank": _q_hilbert_rank,
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
@@ -2466,6 +2518,23 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY n DESC, lang) AS rk
                   FROM c)
             SELECT cell_id, lang AS top_lang, n AS n_docs FROM r WHERE rk = 1
+        """,
+        "tile_chars_median": f"""
+            WITH g AS ({_sql_grid()}),
+            t AS (SELECT (g.ix // {1 << (16 - TOP_LANG_RES)}) * {1 << TOP_LANG_RES}
+                         + (g.iy // {1 << (16 - TOP_LANG_RES)}) AS cell_id,
+                         doc.n_chars
+                  FROM g JOIN documents doc USING (doc_id)),
+            o AS (SELECT cell_id, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY cell_id
+                                            ORDER BY n_chars) AS rn,
+                         COUNT(*) OVER (PARTITION BY cell_id) AS n
+                  FROM t)
+            SELECT cell_id, CAST(MAX(n) AS BIGINT) AS n_docs,
+                   (CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS DOUBLE)
+                    + CAST(MIN(CASE WHEN rn = (n + 2) // 2 THEN n_chars END) AS DOUBLE))
+                   / 2.0e0 AS median_chars
+            FROM o GROUP BY cell_id
         """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
         "pip_docs": oracles.pip_docs_sql(docs, polys),

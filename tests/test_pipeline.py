@@ -1153,3 +1153,27 @@ def test_hotspot_gi_vs_float_reference(ray_session):
     # the hot CLUSTER inflates W_i but n_chars is spatially random, so
     # z stays modest — the check is the formula, not significance
     assert out.w_i.max() > 5 and out.w_i.min() == 1
+
+
+def test_tile_chars_median_vs_pandas(ray_session):
+    """Grouped exact median matches a pandas groupby median (same
+    mean-of-two-middles interpolation)."""
+    import duckdb
+    import pandas as pd
+
+    from locus_ray.cells import cell_id
+    from locus_ray.derive import sql_docs_geo
+    from locus_ray.entry import TOP_LANG_RES, _q_tile_chars_median
+    from tests.conftest import SF
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    d = con.execute(f"""
+        SELECT g.doc_id, g.x, g.y, doc.n_chars
+        FROM ({sql_docs_geo()}) g JOIN documents doc USING (doc_id)""").df()
+    d["cell"] = cell_id(d.x.to_numpy(), d.y.to_numpy(), TOP_LANG_RES)
+    want = d.groupby("cell").n_chars.median()
+
+    out = _q_tile_chars_median(SF).to_pandas().set_index("cell_id").sort_index()
+    assert (out.median_chars == want.sort_index()).all()
+    assert out.n_docs.sum() == len(d)
