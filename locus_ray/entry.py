@@ -217,6 +217,28 @@ def _q_hilbert_rank(sf_dir: str):
     )
 
 
+def _q_morton_rank(sf_dir: str):
+    """Morton / Z-order rank (the reference's ``interleave`` as a
+    user-visible SFC next to Hilbert, locus/_core/hilbert.py:38-42):
+    x bits land in the ODD positions, y in the even — one stateless
+    vectorized stage on the same grid coords."""
+    from .cells import grid_coords
+    from .hilbert import _interleave
+    from .sources import tables
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        ix, iy = grid_coords(x, y)
+        mk = ((_interleave(ix.astype(np.uint32)).astype(np.uint64) << np.uint64(1))
+              | _interleave(iy.astype(np.uint32)).astype(np.uint64))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "morton_key": pa.array(mk.astype(np.int64))})
+
+    return tables.docs_geo(sf_dir).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_tile_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -2137,6 +2159,48 @@ def _q_hotspot_gi(sf_dir: str):
                          zero_copy_batch=True)
 
 
+RIPLEY_RADII = (0.25, 0.5, 1.0, 2.0)  # K-function radius ladder
+WORLD_AREA = 64800.0  # 360 x 180 (the fixture's study window)
+
+
+def _q_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic at the RIPLEY_RADII ladder
+    (no edge correction — the naive estimator, mirrored exactly):
+    K(r) = A * (2 * pairs_within_r) / n^2.
+
+    ONE radius self-join at max(r) feeds every rung: per-batch
+    cumulative band counts over d2 (integers), one small Sum; the
+    only floats are the final mirrored estimator ops."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+    from .stages.partitioned import within_distance_pairs
+
+    docs = tables.docs_geo(sf_dir)
+    n = int(docs.count())
+    pairs = within_distance_pairs(docs, radius=max(RIPLEY_RADII))
+    r2s = [r * r for r in RIPLEY_RADII]
+
+    def band_counts(batch: pa.Table) -> pa.Table:
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+        return pa.table({f"c{i}": pa.array([int((d2 <= t).sum())])
+                         for i, t in enumerate(r2s)})
+
+    agg = pairs.map_batches(band_counts, batch_format="pyarrow",
+                            zero_copy_batch=True).aggregate(
+        *[Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(r2s))])
+
+    import pandas as pd
+
+    rows = []
+    for i, r in enumerate(RIPLEY_RADII):
+        p = int(agg[f"c{i}"])
+        k = (np.float64(WORLD_AREA) * np.float64(2 * p)) / (
+            np.float64(n) * np.float64(n))
+        rows.append({"r": float(r), "n_pairs": p, "k_est": float(k)})
+    return pd.DataFrame(rows)
+
+
 def _q_skyline_docs(sf_dir: str):
     """Skyline query (pareto frontier, minimize x and y): docs
     dominated by NO other doc (b dominates a iff b.x <= a.x and
@@ -2256,6 +2320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_top_lang": _q_tile_top_lang,
         "tile_chars_median": _q_tile_chars_median,
         "hilbert_rank": _q_hilbert_rank,
+        "morton_rank": _q_morton_rank,
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
         "docs_outside_zones": _q_docs_outside_zones,
@@ -2267,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_knn_segments": _q_zone_knn_segments,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
+        "ripley_k": _q_ripley_k,
         "skyline_docs": _q_skyline_docs,
         "find_box_docs": _q_find_box_docs,
         "zone_subsets": _q_zone_subsets,
@@ -2447,6 +2513,22 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(agg.n_pairs AS DOUBLE) * CAST(dn.den AS DOUBLE)) AS moran_i
             FROM s, agg, dn
         """,
+        "ripley_k": f"""
+            WITH d AS ({docs}),
+            p AS (SELECT (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+            r AS ({" UNION ALL ".join(
+                f"SELECT {derive.F(r)} AS r, {derive.F(r * r)} AS r2"
+                for r in RIPLEY_RADII)})
+            SELECT r.r,
+                   CAST(SUM(CASE WHEN p.d2 <= r.r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                   ({derive.F(WORLD_AREA)}
+                    * CAST(2 * SUM(CASE WHEN p.d2 <= r.r2 THEN 1 ELSE 0 END) AS DOUBLE))
+                   / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) AS k_est
+            FROM r CROSS JOIN p CROSS JOIN n
+            GROUP BY r.r, n.n
+        """,
         "hotspot_gi": f"""
             WITH g AS ({docs}),
             d AS (SELECT g.doc_id, g.x, g.y, doc.n_chars
@@ -2537,6 +2619,14 @@ def oracle_sql() -> dict[str, str]:
             FROM o GROUP BY cell_id
         """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
+        "morton_rank": f"""
+            WITH g AS ({_sql_grid()})
+            SELECT doc_id, CAST({" + ".join(
+                f"(((ix >> {j}) & 1) * {1 << (2 * j + 1)})"
+                f" + (((iy >> {j}) & 1) * {1 << (2 * j)})"
+                for j in range(16))} AS BIGINT) AS morton_key
+            FROM g
+        """,
         "pip_docs": oracles.pip_docs_sql(docs, polys),
         "zonal_stats": f"""
             SELECT p.polygon_id, COUNT(*) AS n_docs,

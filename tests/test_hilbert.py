@@ -35,3 +35,22 @@ def test_locality_small_steps():
     r = hilbert_index(xs, ys)
     # distinct points map to distinct ranks (bijection sample)
     assert len(np.unique(r)) == len(np.unique(xs.astype(np.uint64) << 32 | ys))
+
+
+def test_morton_rank_matches_bit_reference():
+    """Morton gate key equals a per-bit python reference (x odd bits)."""
+    import numpy as np
+
+    from locus_ray.hilbert import _interleave
+
+    rng = np.random.default_rng(71)
+    ix = rng.integers(0, 1 << 16, 200).astype(np.uint32)
+    iy = rng.integers(0, 1 << 16, 200).astype(np.uint32)
+    got = ((_interleave(ix).astype(np.uint64) << np.uint64(1))
+           | _interleave(iy).astype(np.uint64))
+    for a, b, g in zip(ix.tolist(), iy.tolist(), got.tolist()):
+        want = 0
+        for j in range(16):
+            want |= ((a >> j) & 1) << (2 * j + 1)
+            want |= ((b >> j) & 1) << (2 * j)
+        assert g == want
