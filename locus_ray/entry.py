@@ -842,6 +842,50 @@ def _q_knn_label_accuracy(sf_dir: str):
     return cand.groupby("query_id").map_groups(vote, batch_format="pandas")
 
 
+EMBED_DIM = 64  # fixture embedding width (ANN oracles share it)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label class prototypes (nearest-class-mean support):
+    EXACT integer-quantized component sums + counts per (label, dim)
+    in long format — the mean is a trivial post-division, and the
+    quantized sums are order-independent BIGINTs so the distributed
+    aggregate is bit-reproducible (same floor(e*2^20 + 0.5) quantizer
+    as the IVF trainer).  One corpus pass; the exchange carries
+    labels x dims aggregate rows, never vectors."""
+    from ray.data.aggregate import Sum
+
+    from .sources import tables
+    from .stages.ann import IVF_SCALE, _as_matrix
+
+    ds = tables.read_table(sf_dir, "embeddings",
+                           columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column("embedding"))
+        q = np.floor(m * IVF_SCALE + 0.5).astype(np.int64)
+        lab = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lab_u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(lab_u), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(lab_u)).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(lab_u, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(lab_u))),
+            "s": pa.array(sums.reshape(-1)),
+            "c": pa.array(np.repeat(cnt, d)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["label", "dim"])
+            .aggregate(Sum("s", alias_name="sum_q"),
+                       Sum("c", alias_name="n")))
+
+
 def _q_ann_cosine(sf_dir: str):
     from .sources import tables
     from .stages import ann
@@ -2364,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "ann_cosine": _q_ann_cosine,
         "knn_label_accuracy": _q_knn_label_accuracy,
+        "label_centroids": _q_label_centroids,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embed_dup_pairs": _q_embed_dup_pairs,
@@ -2897,6 +2942,19 @@ def oracle_sql() -> dict[str, str]:
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
                   FROM s)
             SELECT query_id, vec_id, rnk FROM r WHERE rnk <= {workload.ANN_K}
+        """,
+        "label_centroids": f"""
+            WITH eint AS (SELECT label,
+                          list_transform(embedding, v ->
+                            CAST(floor(CAST(v AS DOUBLE) * {float(1 << 20)}e0
+                                       + 0.5e0) AS BIGINT)) AS ei
+                          FROM embeddings),
+            dims AS (SELECT CAST(unnest(range(1, {EMBED_DIM + 1})) AS INT) AS i)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dims.i AS BIGINT) AS dim,
+                   CAST(SUM(ei[dims.i]) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM eint CROSS JOIN dims GROUP BY 1, 2
         """,
         "knn_label_accuracy": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS tl
