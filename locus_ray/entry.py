@@ -217,6 +217,21 @@ def _q_hilbert_rank(sf_dir: str):
     )
 
 
+def _q_hilbert_order(sf_dir: str):
+    """Global Hilbert-order sort (the distributed analog of the
+    reference's Hilbert leaf sort, locus/_core/r.py:134): the first
+    100 docs by (hilbert_key, doc_id) via the Dataset's range-
+    partitioned ``sort`` + ``limit`` — the locality-preserving layout
+    step a tiling write would consume."""
+    from .sources import tables
+    from .stages import spatial
+
+    return (spatial.assign_tiles(tables.docs_geo(sf_dir), res=RES)
+            .select_columns(["doc_id", "hilbert_key"])
+            .sort(["hilbert_key", "doc_id"])
+            .limit(100))
+
+
 def _q_morton_rank(sf_dir: str):
     """Morton / Z-order rank (the reference's ``interleave`` as a
     user-visible SFC next to Hilbert, locus/_core/hilbert.py:38-42):
@@ -2365,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_chars_median": _q_tile_chars_median,
         "hilbert_rank": _q_hilbert_rank,
         "morton_rank": _q_morton_rank,
+        "hilbert_order": _q_hilbert_order,
         "zone_contains_doc": _q_zone_contains_doc,
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
         "docs_outside_zones": _q_docs_outside_zones,
@@ -2664,6 +2680,11 @@ def oracle_sql() -> dict[str, str]:
             FROM o GROUP BY cell_id
         """,
         "hilbert_rank": oracles.hilbert_rank_sql(_sql_grid()),
+        "hilbert_order": f"""
+            SELECT doc_id, hilbert_key
+            FROM ({oracles.hilbert_rank_sql(_sql_grid())})
+            ORDER BY hilbert_key, doc_id LIMIT 100
+        """,
         "morton_rank": f"""
             WITH g AS ({_sql_grid()})
             SELECT doc_id, CAST({" + ".join(
