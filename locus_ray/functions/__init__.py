@@ -20,6 +20,7 @@ from ..hilbert import hilbert_index
 from ..kernels import (
     box_is_subset,
     box_point_squared_distance,
+    box_segment_intersects,
     box_segment_squared_distance,
     boxes_overlap,
     contains_point,
@@ -37,7 +38,8 @@ __all__ = [
     "contains_point", "boxes_overlap", "box_is_subset",
     "points_squared_distance", "box_point_squared_distance",
     "segment_point_squared_distance", "segments_squared_distance",
-    "box_segment_squared_distance", "segments_intersect",
+    "box_segment_squared_distance", "box_segment_intersects",
+    "segments_intersect",
     "points_in_polygon", "merge_boxes",
     "orientation", "points_in_polygon_exact", "segments_intersect_exact",
     "segments_squared_distance_exact",
