@@ -432,6 +432,21 @@ def _q_docs_near_zones(sf_dir: str):
     )
 
 
+NEAR_SEG_RADIUS = 0.5  # doc-near-segment buffer join radius
+
+
+def _q_docs_near_segments(sf_dir: str):
+    """Bipartite buffer join on LINES (P6 <= r^2, closed): docs within
+    NEAR_SEG_RADIUS of each segment, with d2
+    (stages/partitioned.point_segment_within_join)."""
+    from .sources import tables
+    from .stages.partitioned import point_segment_within_join
+
+    return point_segment_within_join(
+        tables.docs_geo(sf_dir), tables.segments_ds(sf_dir),
+        radius=NEAR_SEG_RADIUS, res=6)
+
+
 def _q_seg_intersections(sf_dir: str):
     """Segment-overlay self-join: all intersecting segment pairs
     (closed, P7 zero-distance case) via bbox cell-cover explode +
@@ -2385,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_contains_doc_shuffle": _q_zone_contains_doc_shuffle,
         "docs_outside_zones": _q_docs_outside_zones,
         "docs_near_zones": _q_docs_near_zones,
+        "docs_near_segments": _q_docs_near_segments,
         "zone_overlap_pairs": _q_zone_overlap_pairs,
         "seg_intersections": _q_seg_intersections,
         "zone_seg_overlap": _q_zone_seg_overlap,
@@ -2524,6 +2540,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, z.zone_id, {_BOX_D2} AS d2
             FROM d, z
             WHERE {_BOX_D2} <= {derive.F(workload.NEAR_ZONE_RADIUS ** 2)}
+        """,
+        "docs_near_segments": f"""
+            WITH d AS ({docs}), s AS ({segs})
+            SELECT d.doc_id, s.segment_id,
+                   {_p2s('d.x', 'd.y', 's.start_x', 's.start_y',
+                         's.end_x', 's.end_y')} AS d2
+            FROM d, s
+            WHERE {_p2s('d.x', 'd.y', 's.start_x', 's.start_y',
+                        's.end_x', 's.end_y')}
+                  <= {derive.F(NEAR_SEG_RADIUS ** 2)}
         """,
         "seg_intersections": f"""
             WITH s AS ({segs})

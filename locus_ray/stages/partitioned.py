@@ -696,6 +696,83 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
         pairs_of_group, batch_format="pyarrow")
 
 
+def point_segment_within_join(docs, segments, radius: float, res: int = 6,
+                              doc_id: str = "doc_id",
+                              seg_id: str = "segment_id"):
+    """Bipartite buffer join on LINES: every (doc, segment) pair with
+    point-to-segment squared distance (P6) <= radius**2 (closed),
+    with d2 emitted — "docs within r of a road".
+
+    One exchange, union + groupby (the join-free attach idiom —
+    CLAUDE.md join hazards): each segment explodes to the cell cover
+    of its r-INFLATED bbox, each doc lands in its ONE home cell, so a
+    qualifying pair meets in exactly one group and needs no dedup (a
+    doc within r of the segment is inside the inflated bbox, whose
+    cover contains the doc's home cell at ANY resolution).  Per group
+    one vectorized P6 matrix."""
+    from ..kernels import segment_point_squared_distance
+
+    axis, fx, fy = _cell_floor_fns(res)
+    r2 = radius * radius
+
+    def explode_docs(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        n = len(x)
+        return pa.table({
+            "cell": fx(x) * axis + fy(y),
+            "gid": batch.column(doc_id),
+            "c0": pa.array(x), "c1": pa.array(y),
+            "c2": pa.array(np.zeros(n)), "c3": pa.array(np.zeros(n)),
+            "is_seg": pa.array(np.zeros(n, dtype=bool)),
+        })
+
+    def explode_segs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(seg_id).to_numpy(zero_copy_only=False)
+        sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+        ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+        ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+        cell, rep = _bbox_cover_explode(
+            ids, np.minimum(sx, ex) - radius, np.maximum(sx, ex) + radius,
+            np.minimum(sy, ey) - radius, np.maximum(sy, ey) + radius, res)
+        return pa.table({
+            "cell": cell, "gid": pa.array(ids[rep]),
+            "c0": pa.array(sx[rep]), "c1": pa.array(sy[rep]),
+            "c2": pa.array(ex[rep]), "c3": pa.array(ey[rep]),
+            "is_seg": pa.array(np.ones(len(rep), dtype=bool)),
+        })
+
+    def pairs_of_group(batch: pa.Table) -> pa.Table:
+        empty = pa.table({doc_id: pa.array([], type=pa.int64()),
+                          seg_id: pa.array([], type=pa.int64()),
+                          "d2": pa.array([], type=pa.float64())})
+        is_seg = batch.column("is_seg").to_numpy(zero_copy_only=False)
+        if is_seg.all() or not is_seg.any():
+            return empty
+        gid = batch.column("gid").to_numpy(zero_copy_only=False)
+        c0 = batch.column("c0").to_numpy(zero_copy_only=False)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False)
+        c3 = batch.column("c3").to_numpy(zero_copy_only=False)
+        di = np.nonzero(~is_seg)[0]
+        si = np.nonzero(is_seg)[0]
+        d2 = segment_point_squared_distance(
+            c0[si][None, :], c1[si][None, :], c2[si][None, :], c3[si][None, :],
+            c0[di][:, None], c1[di][:, None])
+        d, s = np.nonzero(d2 <= r2)
+        return pa.table({doc_id: pa.array(gid[di][d]),
+                         seg_id: pa.array(gid[si][s]),
+                         "d2": pa.array(d2[d, s])})
+
+    exploded = docs.map_batches(
+        explode_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(segments.map_batches(
+        explode_segs, batch_format="pyarrow", zero_copy_batch=True))
+    return exploded.groupby("cell").map_groups(
+        pairs_of_group, batch_format="pyarrow")
+
+
 def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
     """All unordered STRICTLY-overlapping box pairs (interiors
     intersect — kernels.overlaps / P2 semantics): ``(id_a, id_b)``

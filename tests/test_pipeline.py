@@ -1177,3 +1177,49 @@ def test_tile_chars_median_vs_pandas(ray_session):
     out = _q_tile_chars_median(SF).to_pandas().set_index("cell_id").sort_index()
     assert (out.median_chars == want.sort_index()).all()
     assert out.n_docs.sum() == len(d)
+
+
+def test_point_segment_within_join_vs_brute_force(ray_session):
+    """Doc-near-segment buffer join matches the O(n*m) P6 brute force,
+    closed at exactly r, exclusive just beyond."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.kernels import segment_point_squared_distance
+    from locus_ray.stages.partitioned import point_segment_within_join
+
+    rng = np.random.default_rng(81)
+    nd, ns = 1200, 150
+    x = rng.uniform(-170, 170, nd)
+    y = rng.uniform(-80, 80, nd)
+    sx = rng.uniform(-170, 170, ns)
+    sy = rng.uniform(-80, 80, ns)
+    ex = sx + rng.uniform(-6, 6, ns)
+    ey = sy + rng.uniform(-6, 6, ns)
+    r = 0.5
+    # planted against segment 0 = (0,0)-(10,0)
+    sx[0], sy[0], ex[0], ey[0] = 0.0, 0.0, 10.0, 0.0
+    x[0], y[0] = 5.0, r                        # exactly at r (closed)
+    x[1], y[1] = 5.0, np.nextafter(r, 1.0)     # just beyond
+    did = np.arange(nd, dtype=np.int64)
+    sid = np.arange(ns, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(did),
+                                   "x": pa.array(x), "y": pa.array(y)}))
+    segs = rd.from_arrow(pa.table({
+        "segment_id": pa.array(sid),
+        "start_x": pa.array(sx), "start_y": pa.array(sy),
+        "end_x": pa.array(ex), "end_y": pa.array(ey),
+    }))
+    out = point_segment_within_join(docs, segs, radius=r,
+                                    res=6).to_pandas()
+    got = sorted(zip(out.doc_id, out.segment_id, out.d2))
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+
+    d2 = segment_point_squared_distance(
+        sx[None, :], sy[None, :], ex[None, :], ey[None, :],
+        x[:, None], y[:, None])
+    a, b = np.nonzero(d2 <= r * r)
+    want = sorted(zip(did[a], sid[b], d2[a, b]))
+    assert any(p[:2] == (0, 0) for p in want)
+    assert not any(p[:2] == (1, 0) for p in want)
+    assert got == want
