@@ -612,7 +612,8 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id"):
 
 def box_segment_overlap_join(zones, segments, res: int = 6,
                              zone_id: str = "zone_id",
-                             seg_id: str = "segment_id"):
+                             seg_id: str = "segment_id",
+                             large_cover_cells: int = 64):
     """Bipartite box-segment intersection join (closed — the
     ``box_segment_squared_distance == 0`` case of P8): one row
     ``(zone_id, segment_id)`` per zone box the segment touches or
@@ -627,10 +628,66 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
     one vectorized zones x segments predicate matrix
     (kernels.box_segment_intersects — pure orientation/containment
     comparisons, trivially SQL-mirrorable).
+
+    Skew (IMPLEMENTED): zones whose cover exceeds
+    ``large_cover_cells`` ride a broadcast side scored block-locally
+    against the streaming segments (each segment lives in exactly ONE
+    input block — no dedup).  Segments are bounded-length by layer
+    construction; an oversized-segment split would mirror this one.
     """
+    import pyarrow.compute as pc
+    import ray as _ray
+
     from ..kernels import box_segment_intersects
 
     axis, fx, fy = _cell_floor_fns(res)
+
+    def tag_cover(batch: pa.Table) -> pa.Table:
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        nx = fx(mxx) - fx(mnx) + 1
+        ny = fy(mxy) - fy(mny) + 1
+        return batch.append_column(
+            "big", pa.array((nx * ny) > large_cover_cells))
+
+    tagged = zones.map_batches(tag_cover, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    big_chunks = [c for c in tagged.map_batches(
+        lambda t: t.filter(t.column("big")).drop_columns(["big"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow") if len(c)]
+    zones = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("big"))).drop_columns(["big"]),
+        batch_format="pyarrow")
+
+    big_branch = None
+    if big_chunks:
+        bt = pa.concat_tables(big_chunks)
+        big_ref = _ray.put((
+            bt.column(zone_id).to_numpy(zero_copy_only=False),
+            bt.column("min_x").to_numpy(zero_copy_only=False),
+            bt.column("max_x").to_numpy(zero_copy_only=False),
+            bt.column("min_y").to_numpy(zero_copy_only=False),
+            bt.column("max_y").to_numpy(zero_copy_only=False)))
+
+        def vs_big(batch: pa.Table) -> pa.Table:
+            sid = batch.column(seg_id).to_numpy(zero_copy_only=False)
+            sx = batch.column("start_x").to_numpy(zero_copy_only=False)
+            sy = batch.column("start_y").to_numpy(zero_copy_only=False)
+            ex = batch.column("end_x").to_numpy(zero_copy_only=False)
+            ey = batch.column("end_y").to_numpy(zero_copy_only=False)
+            bid, mnx, mxx, mny, mxy = _ray.get(big_ref)
+            hit = box_segment_intersects(
+                mnx[:, None], mxx[:, None], mny[:, None], mxy[:, None],
+                sx[None, :], sy[None, :], ex[None, :], ey[None, :])
+            z, s = np.nonzero(hit)
+            return pa.table({zone_id: pa.array(bid[z]),
+                             seg_id: pa.array(sid[s])})
+
+        big_branch = segments.map_batches(vs_big, batch_format="pyarrow",
+                                          zero_copy_batch=True)
 
     def explode_zones(batch: pa.Table) -> pa.Table:
         ids = batch.column(zone_id).to_numpy(zero_copy_only=False)
@@ -692,8 +749,11 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
         explode_zones, batch_format="pyarrow", zero_copy_batch=True
     ).union(segments.map_batches(
         explode_segs, batch_format="pyarrow", zero_copy_batch=True))
-    return exploded.groupby("cell").map_groups(
+    out = exploded.groupby("cell").map_groups(
         pairs_of_group, batch_format="pyarrow")
+    if big_branch is not None:
+        out = out.union(big_branch)
+    return out
 
 
 def point_segment_within_join(docs, segments, radius: float, res: int = 6,
@@ -773,7 +833,8 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
         pairs_of_group, batch_format="pyarrow")
 
 
-def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
+def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
+                      large_cover_cells: int = 64):
     """All unordered STRICTLY-overlapping box pairs (interiors
     intersect — kernels.overlaps / P2 semantics): ``(id_a, id_b)``
     with ``id_a < id_b``.  The box-box spatial join (the reference's
@@ -789,12 +850,20 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
     pair exactly once).  Per group, one vectorized m x m strict-
     overlap matrix — no dedup shuffle, no global sort.
 
-    Skew: a box wider than LARGE_COVER_CELLS-style limits explodes to
-    many cells; at corpus scale the oversized 2% would ride a
-    broadcast side exactly like contain_join_partitioned's hybrid
-    split (same caveat as documented there) — at the gate scales the
-    full explode is cheap.
+    Skew (IMPLEMENTED, contain_join_partitioned's hybrid rule): boxes
+    whose cover exceeds ``large_cover_cells`` would explode the
+    shuffle, so they ride a BROADCAST side instead — tiny by
+    construction, collected once.  Three disjoint pair classes:
+    normal x normal through the cell-cover exchange (min-corner
+    dedup), big x normal scored block-locally against the streaming
+    normal side (each normal box lives in exactly ONE input block, so
+    no dedup pass), and big x big resolved driver-side (a |B|^2
+    matrix over the tiny broadcast set).
     """
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data as rd
+
     from ..config import WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
 
     axis = 1 << res
@@ -802,6 +871,62 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
     def cell_floor(v: np.ndarray, lo: float, span: float) -> np.ndarray:
         return np.clip(np.floor((v - lo) / span * axis), 0, axis - 1
                        ).astype(np.int64)
+
+    def _cols(batch: pa.Table):
+        return (batch.column(id_col).to_numpy(zero_copy_only=False),
+                batch.column("min_x").to_numpy(zero_copy_only=False),
+                batch.column("max_x").to_numpy(zero_copy_only=False),
+                batch.column("min_y").to_numpy(zero_copy_only=False),
+                batch.column("max_y").to_numpy(zero_copy_only=False))
+
+    def tag_cover(batch: pa.Table) -> pa.Table:
+        _, mnx, mxx, mny, mxy = _cols(batch)
+        nx = (cell_floor(mxx, WORLD_MIN_X, WORLD_W)
+              - cell_floor(mnx, WORLD_MIN_X, WORLD_W) + 1)
+        ny = (cell_floor(mxy, WORLD_MIN_Y, WORLD_H)
+              - cell_floor(mny, WORLD_MIN_Y, WORLD_H) + 1)
+        return batch.append_column(
+            "big", pa.array((nx * ny) > large_cover_cells))
+
+    tagged = ds.map_batches(tag_cover, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    big_chunks = [c for c in tagged.map_batches(
+        lambda t: t.filter(t.column("big")).drop_columns(["big"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow") if len(c)]
+    small = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("big"))).drop_columns(["big"]),
+        batch_format="pyarrow")
+
+    def _strict(amnx, amxx, amny, amxy, bmnx, bmxx, bmny, bmxy):
+        return ((amnx[:, None] < bmxx[None, :]) & (bmnx[None, :] < amxx[:, None])
+                & (amny[:, None] < bmxy[None, :]) & (bmny[None, :] < amxy[:, None]))
+
+    branches = []
+    if big_chunks:
+        bt = pa.concat_tables(big_chunks)
+        bid, bmnx, bmxx, bmny, bmxy = _cols(bt)
+        # big x big: driver-side upper triangle over the tiny set
+        hit = _strict(bmnx, bmxx, bmny, bmxy, bmnx, bmxx, bmny, bmxy) & (
+            np.arange(len(bid))[:, None] < np.arange(len(bid))[None, :])
+        a, b = np.nonzero(hit)
+        branches.append(rd.from_arrow(pa.table({
+            "id_a": pa.array(np.minimum(bid[a], bid[b])),
+            "id_b": pa.array(np.maximum(bid[a], bid[b]))})))
+        # big x normal: block-local against the broadcast big side
+        big_ref = _ray.put((bid, bmnx, bmxx, bmny, bmxy))
+
+        def vs_big(batch: pa.Table) -> pa.Table:
+            gid, mnx, mxx, mny, mxy = _cols(batch)
+            rbid, rmnx, rmxx, rmny, rmxy = _ray.get(big_ref)
+            hit = _strict(mnx, mxx, mny, mxy, rmnx, rmxx, rmny, rmxy)
+            n_, b_ = np.nonzero(hit)
+            return pa.table({
+                "id_a": pa.array(np.minimum(gid[n_], rbid[b_])),
+                "id_b": pa.array(np.maximum(gid[n_], rbid[b_]))})
+
+        branches.append(small.map_batches(vs_big, batch_format="pyarrow",
+                                          zero_copy_batch=True))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -854,7 +979,10 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id"):
         hi = np.maximum(ia, ib)
         return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return exploded.groupby("cell").map_groups(
+    exploded = small.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = exploded.groupby("cell").map_groups(
         pairs_of_group, batch_format="pyarrow")
+    for br in branches:
+        out = out.union(br)
+    return out

@@ -580,10 +580,15 @@ def test_box_overlap_pairs_vs_brute_force(ray_session):
     hh = rng.uniform(0.5, 8.0, n)
     mnx, mxx = cx - hw, cx + hw
     mny, mxy = cy - hh, cy + hh
-    # planted: an edge-sharing pair (strict -> excluded) and a nested pair
+    # planted: an edge-sharing pair (strict -> excluded), a nested pair,
+    # and two OVERSIZED boxes (cover >> 64 cells at res 6) that must
+    # route through the hybrid broadcast branch — overlapping each
+    # other (big x big) and most normal boxes (big x normal)
     mnx[0], mxx[0], mny[0], mxy[0] = 0.0, 10.0, 0.0, 10.0
     mnx[1], mxx[1], mny[1], mxy[1] = 10.0, 20.0, 0.0, 10.0   # shares x edge
     mnx[2], mxx[2], mny[2], mxy[2] = 2.0, 3.0, 2.0, 3.0      # nested in 0
+    mnx[3], mxx[3], mny[3], mxy[3] = -150.0, 150.0, -70.0, 70.0
+    mnx[4], mxx[4], mny[4], mxy[4] = -100.0, 120.0, -50.0, 60.0
     ids = np.arange(n, dtype=np.int64)
     ds = rd.from_arrow(pa.table({
         "zone_id": pa.array(ids),
@@ -600,6 +605,8 @@ def test_box_overlap_pairs_vs_brute_force(ray_session):
     a, b = np.nonzero(hit)
     want = sorted(zip(ids[a], ids[b]))
     assert (0, 2) in want and (0, 1) not in want
+    assert (3, 4) in want          # big x big (driver branch)
+    assert (0, 3) in want          # big x normal (broadcast branch)
     assert got == want
 
 
@@ -774,8 +781,10 @@ def test_box_segment_overlap_join_vs_brute_force(ray_session):
     sy = rng.uniform(-80, 80, ns)
     ex = sx + rng.uniform(-8, 8, ns)
     ey = sy + rng.uniform(-8, 8, ns)
-    # planted box 0 = [0,10]x[0,10]
+    # planted box 0 = [0,10]x[0,10]; box 1 OVERSIZED (cover >> 64 at
+    # res 6) so it must route through the hybrid broadcast branch
     mnx[0], mxx[0], mny[0], mxy[0] = 0.0, 10.0, 0.0, 10.0
+    mnx[1], mxx[1], mny[1], mxy[1] = -150.0, 150.0, -70.0, 70.0
     sx[0], sy[0], ex[0], ey[0] = -5.0, 5.0, 15.0, 5.0    # pass-through
     sx[1], sy[1], ex[1], ey[1] = 2.0, 2.0, 8.0, 8.0      # fully inside
     sx[2], sy[2], ex[2], ey[2] = 10.0, 10.0, 20.0, 20.0  # corner touch
@@ -804,6 +813,7 @@ def test_box_segment_overlap_join_vs_brute_force(ray_session):
     for planted in ((0, 0), (0, 1), (0, 2)):
         assert planted in want
     assert (0, 3) not in want
+    assert sum(1 for z, _ in want if z == 1) > 50  # big zone exercised
     assert got == want
 
 
