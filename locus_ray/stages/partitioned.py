@@ -543,7 +543,8 @@ def _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res: int):
     return gx * axis + gy, rep
 
 
-def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id"):
+def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
+                               large_cover_cells: int = 64):
     """All unordered INTERSECTING segment pairs (closed — touching
     counts, the zero-distance case of P7): ``(id_a, id_b)`` with
     ``id_a < id_b``.  The segment-overlay / crossing-detection join.
@@ -557,15 +558,75 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id"):
     (kernels.segments_intersect) — exact float predicate, no distance
     computation, no dedup shuffle.
 
-    Skew: a segment's bbox cover is its length in cells squared-ish
-    (diagonal segments cover the full bbox, not just pierced cells) —
-    ``res`` should keep typical covers O(10) cells; oversized outliers
-    would ride a broadcast side like contain_join_partitioned's hybrid
-    split at corpus scale.
+    Skew (IMPLEMENTED): a segment's bbox cover is its length in cells
+    squared-ish (diagonal segments cover the full bbox, not just
+    pierced cells) — ``res`` should keep typical covers O(10) cells,
+    and segments whose cover exceeds ``large_cover_cells`` ride a
+    BROADCAST side (big x normal scored block-locally — each normal
+    segment lives in ONE input block, so no dedup; big x big
+    driver-side over the tiny set), contain_join_partitioned's hybrid
+    rule.
     """
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data as rd
+
     from ..kernels import segments_intersect
 
     axis, fx, fy = _cell_floor_fns(res)
+
+    def _scols(batch: pa.Table):
+        return (batch.column(id_col).to_numpy(zero_copy_only=False),
+                batch.column("start_x").to_numpy(zero_copy_only=False),
+                batch.column("start_y").to_numpy(zero_copy_only=False),
+                batch.column("end_x").to_numpy(zero_copy_only=False),
+                batch.column("end_y").to_numpy(zero_copy_only=False))
+
+    def tag_cover(batch: pa.Table) -> pa.Table:
+        _, sx, sy, ex, ey = _scols(batch)
+        nx = fx(np.maximum(sx, ex)) - fx(np.minimum(sx, ex)) + 1
+        ny = fy(np.maximum(sy, ey)) - fy(np.minimum(sy, ey)) + 1
+        return batch.append_column(
+            "big", pa.array((nx * ny) > large_cover_cells))
+
+    tagged = ds.map_batches(tag_cover, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    big_chunks = [c for c in tagged.map_batches(
+        lambda t: t.filter(t.column("big")).drop_columns(["big"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pyarrow") if len(c)]
+    ds = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("big"))).drop_columns(["big"]),
+        batch_format="pyarrow")
+
+    branches = []
+    if big_chunks:
+        bt = pa.concat_tables(big_chunks)
+        bid, bsx, bsy, bex, bey = _scols(bt)
+        m = len(bid)
+        hit = segments_intersect(
+            bsx[:, None], bsy[:, None], bex[:, None], bey[:, None],
+            bsx[None, :], bsy[None, :], bex[None, :], bey[None, :],
+        ) & (np.arange(m)[:, None] < np.arange(m)[None, :])
+        a, b = np.nonzero(hit)
+        branches.append(rd.from_arrow(pa.table({
+            "id_a": pa.array(np.minimum(bid[a], bid[b])),
+            "id_b": pa.array(np.maximum(bid[a], bid[b]))})))
+        big_ref = _ray.put((bid, bsx, bsy, bex, bey))
+
+        def vs_big(batch: pa.Table) -> pa.Table:
+            gid, sx, sy, ex, ey = _scols(batch)
+            rbid, rsx, rsy, rex, rey = _ray.get(big_ref)
+            hit = segments_intersect(
+                sx[:, None], sy[:, None], ex[:, None], ey[:, None],
+                rsx[None, :], rsy[None, :], rex[None, :], rey[None, :])
+            n_, b_ = np.nonzero(hit)
+            return pa.table({
+                "id_a": pa.array(np.minimum(gid[n_], rbid[b_])),
+                "id_b": pa.array(np.maximum(gid[n_], rbid[b_]))})
+
+        branches.append(ds.map_batches(vs_big, batch_format="pyarrow",
+                                       zero_copy_batch=True))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -606,8 +667,11 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id"):
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return exploded.groupby("cell").map_groups(
+    out = exploded.groupby("cell").map_groups(
         pairs_of_group, batch_format="pyarrow")
+    for br in branches:
+        out = out.union(br)
+    return out
 
 
 def box_segment_overlap_join(zones, segments, res: int = 6,

@@ -739,6 +739,9 @@ def test_segment_intersection_pairs_vs_brute_force(ray_session):
     sx[1], sy[1], ex[1], ey[1] = 5.0, 0.0, 5.0, 8.0      # touch at (5,0)
     sx[2], sy[2], ex[2], ey[2] = 8.0, 0.0, 14.0, 0.0     # collinear overlap
     sx[3], sy[3], ex[3], ey[3] = 3.0, np.nextafter(0.0, 1.0), 3.0, 5.0
+    # 4: OVERSIZED (bbox cover >> 64 cells at res 6) -> must route
+    # through the hybrid broadcast branch
+    sx[4], sy[4], ex[4], ey[4] = -150.0, -60.0, 150.0, 60.0
     ids = np.arange(n, dtype=np.int64)
     ds = rd.from_arrow(pa.table({
         "segment_id": pa.array(ids),
@@ -756,6 +759,7 @@ def test_segment_intersection_pairs_vs_brute_force(ray_session):
     a, b = np.nonzero(hit)
     want = sorted(zip(ids[a], ids[b]))
     assert (0, 1) in want and (0, 2) in want and (0, 3) not in want
+    assert sum(1 for p in want if 4 in p) > 3  # big segment exercised
     assert got == want
 
 
