@@ -31,6 +31,41 @@ DEFAULT_CELL_RES = 8
 DEFAULT_MAX_CHILDREN = 16
 
 
+def num_partitions_for(n_rows: int, rows_per_partition: int = 200_000,
+                       min_partitions: int = 16,
+                       max_partitions: int = 1 << 16) -> int:
+    """Input-size-derived shuffle partition count (VERDICT r3 #1).
+
+    A hard-coded partition count is a silent OOM at 100x scale: a
+    ``groupby(pkey).map_groups`` group (or a hash-join partition)
+    materializes rows/partitions rows at once, so the count must GROW
+    with the input.  Rules, in priority order:
+
+    - at least ``ceil(n_rows / rows_per_partition)`` so per-partition
+      group / join-block materialization stays bounded at ANY corpus
+      size (``rows_per_partition`` is the per-operator memory knob —
+      kNN joins with candidate fan-out pass a smaller value than flat
+      event streams);
+    - at least the cluster CPU count (every core gets a partition);
+    - at least ``min_partitions`` (=16, the former hard-coded default,
+      so sandbox-scale gate plans are unchanged);
+    - capped at ``max_partitions`` (shuffle-metadata sanity bound).
+
+    Callers that already know the row count (parquet metadata —
+    :func:`locus_ray.sources.tables.table_rows`) should pass it; the
+    library stages fall back to ``ds.count()``, which is metadata-only
+    for fresh reads but EXECUTES lineage for derived datasets — pass
+    ``num_partitions`` explicitly in that case.
+    """
+    import ray
+
+    cpus = 0
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    need = -(-int(n_rows) // rows_per_partition) if n_rows > 0 else 1
+    return max(min_partitions, cpus, min(max_partitions, need))
+
+
 def actor_pool() -> tuple[int, int]:
     """Autoscaling actor-pool bounds for the gate/library pipelines.
 

@@ -54,11 +54,14 @@ def fnv_sql(expr: str) -> str:
     )
 
 
-def _u64_to_i64(expr: str) -> str:
+def u64_to_i64(expr: str) -> str:
     """HUGEINT in [0, 2^64) -> signed int64 (two's complement view,
     matching numpy's ``uint64.astype(int64)``)."""
     return (f"CAST(CASE WHEN ({expr}) >= {1 << 63} THEN ({expr}) - {_M64} "
             f"ELSE ({expr}) END AS BIGINT)")
+
+
+_u64_to_i64 = u64_to_i64  # internal alias (pre-public-API name)
 
 
 # ---------------------------------------------------------------------------
@@ -167,14 +170,17 @@ def lang_id_sql(profiles: dict[str, set[str]]) -> str:
 
 def corpus_clean_sql(profiles: dict[str, set[str]]) -> str:
     """Mirrors the composite cleaning pipeline: exact-dedup survivors
-    (MIN doc_id per md5) with n_tokens >= 5, distinct-token ratio
-    >= 0.3 and stopword-vote language 'en'."""
+    (MIN doc_id per FNV content hash — the engine's vectorized
+    ``dedup.content_hash``; ASCII corpus assumption as everywhere)
+    with n_tokens >= 5, distinct-token ratio >= 0.3 and stopword-vote
+    language 'en'."""
     counts, case = _lang_fragments(profiles)
     return f"""
-    WITH k AS (SELECT md5(text) AS ch, MIN(doc_id) AS keep_id
-               FROM documents GROUP BY 1),
-    j AS (SELECT d.doc_id, d.text FROM documents d
-          JOIN k ON md5(d.text) = k.ch AND d.doc_id = k.keep_id),
+    WITH hd AS (SELECT doc_id, text, {fnv_sql('text')} AS ch
+                FROM documents),
+    k AS (SELECT ch, MIN(doc_id) AS keep_id FROM hd GROUP BY 1),
+    j AS (SELECT hd.doc_id, hd.text FROM hd
+          JOIN k ON hd.ch = k.ch AND hd.doc_id = k.keep_id),
     t AS (SELECT doc_id,
                  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                  CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,

@@ -22,6 +22,15 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — no data read.  The
+    input-size signal for :func:`locus_ray.config.num_partitions_for`
+    at plan-build time (a ``Dataset.count()`` on a derived dataset
+    would execute its lineage)."""
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 def docs_geo(sf_dir: str, extra_columns: tuple[str, ...] = ()):
     """documents with derived (x, y) geotags — the probe side."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", *extra_columns])

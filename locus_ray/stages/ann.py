@@ -219,7 +219,7 @@ def ivf_topk(ds, queries: dict[str, np.ndarray],
 def lsh_dup_pairs(ds, threshold: float = 0.4, n_tables: int = 4,
                   n_planes: int = 8, seed: int = 29,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  num_partitions: int = 16, dim: int | None = None):
+                  num_partitions: int | None = None, dim: int | None = None):
     """Corpus-vs-corpus embedding near-dup pairs — the 100 TB scale
     path (``embed_dup_pairs``' exact variant broadcast-scores the full
     matrix and is for dimension-scale corpora only).
@@ -245,6 +245,13 @@ def lsh_dup_pairs(ds, threshold: float = 0.4, n_tables: int = 4,
 
     if dim is None:
         dim = len(ds.take(1)[0][vec_col])  # limit-pushdown peek, one block
+    if num_partitions is None:
+        from ..config import num_partitions_for
+
+        # metadata-only for fresh reads; pass explicitly for derived
+        # inputs (num_partitions_for docstring)
+        num_partitions = num_partitions_for(ds.count(),
+                                            rows_per_partition=250_000)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_tables * n_planes))
     planes_ref = ray.put(planes)
