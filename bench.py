@@ -165,8 +165,12 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     ).count())
 
     # q6b: doc->doc kNN self-join slice (point build side with the 20%
-    # hot cluster — exercises the hot sub-bucket + freeze machinery)
-    self_docs = min(N_DOCS, 1_000_000)
+    # hot cluster — exercises the hot sub-bucket + freeze machinery).
+    # 4M (was 1M): at 1M the stage finished in ~2.7 s at EITHER CPU
+    # level — it measured fixed costs, not scaling (VERDICT r3 #6);
+    # the rung now stays >=10 s at 8 CPUs so the efficiency aggregate
+    # reflects steady-state throughput
+    self_docs = min(N_DOCS, 4_000_000)
 
     # prebuilt ONCE on the driver, OUTSIDE the timed region (like the
     # untimed pool warmup): the index is built once and probed for the
@@ -184,7 +188,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         return {"ids": keys, "x": xx, "y": yy}
 
     self_ref = None
-    if not only or "knn_docs_self_1m" in only:
+    if not only or "knn_docs_self_4m" in only:
         self_ref = ray.put(spatial.prebuilt_knn_index(_self_keys(), "point", 8))
 
     def docs_self():
@@ -197,7 +201,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
             concurrency=pool, batch_size=4096,
         )
 
-    timed("knn_docs_self_1m", lambda: docs_self().count())
+    timed("knn_docs_self_4m", lambda: docs_self().count())
 
     # q7: compute-dense ANN probe (matmul-bound): demonstrates the
     # engine's scaling when the kernel is not memory-bandwidth-bound

@@ -71,7 +71,7 @@ class PipIndex:
         # VERDICT r3 "What's wrong" #4), then flatten into CSR
         # (cell -> [(poly, is_full)]) arrays so the per-batch probe is
         # a pure searchsorted gather
-        from ..kernels import box_segment_squared_distance
+        from ..kernels import box_segment_intersects
 
         cell_chunks: list[np.ndarray] = []
         poly_chunks: list[np.ndarray] = []
@@ -87,11 +87,14 @@ class PipIndex:
             cx = np.stack((mnx, mnx, mxx, mxx), axis=1).ravel()
             cy = np.stack((mny, mxy, mny, mxy), axis=1).ravel()
             corners_in = points_in_polygon(rx, ry, cx, cy).reshape(m, 4)
-            d = box_segment_squared_distance(
+            # boolean crossing predicate, NOT the full P8 distance —
+            # box_segment_intersects is the documented d2 == 0 case and
+            # profiles ~4x cheaper (the distance kernel was 70% of the
+            # raster build at 10^4 polygons)
+            crosses = box_segment_intersects(
                 mnx[:, None], mxx[:, None], mny[:, None], mxy[:, None],
                 rx[None, :], ry[None, :],
-                np.roll(rx, -1)[None, :], np.roll(ry, -1)[None, :])
-            crosses = (d == 0.0).any(axis=1)
+                np.roll(rx, -1)[None, :], np.roll(ry, -1)[None, :]).any(axis=1)
             all_in = corners_in.all(axis=1)
             any_in = corners_in.any(axis=1)
             keep = any_in | crosses
@@ -196,13 +199,9 @@ class PipJoinActor:
 
 
 def _ring_intersects_box(rx, ry, mnx, mxx, mny, mxy) -> bool:
-    """Any polygon edge intersects the box rectangle (conservative)."""
-    from ..kernels import box_segment_squared_distance
+    """Any polygon edge intersects the box rectangle (scalar reference
+    of the vectorized predicate inside :class:`PipIndex.__init__`)."""
+    from ..kernels import box_segment_intersects
 
-    n = len(rx)
-    sx = rx
-    sy = ry
-    ex = np.roll(rx, -1)
-    ey = np.roll(ry, -1)
-    d = box_segment_squared_distance(mnx, mxx, mny, mxy, sx, sy, ex, ey)
-    return bool(np.any(d == 0.0))
+    return bool(np.any(box_segment_intersects(
+        mnx, mxx, mny, mxy, rx, ry, np.roll(rx, -1), np.roll(ry, -1))))
