@@ -74,12 +74,20 @@ def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
         )
         return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt)})
 
-    counts = (
+    import pyarrow.compute as pc
+
+    # filter DISTRIBUTED, collect only the hot survivors: pulling every
+    # distinct cell's count to the driver is a 10^8-row materialization
+    # at fine resolutions on a 10^12-doc corpus
+    hot = (
         docs_with_cells.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t.filter(pc.greater(t.column("n"), threshold)),
+                     batch_format="pyarrow")
         .to_pandas()
     )
-    hot = counts[counts["n"] > threshold]
+    if hot.empty:  # all-empty blocks lose the schema in to_pandas
+        return {}
     return {
         int(c): int(-(-n // threshold)) for c, n in zip(hot["cell_id"], hot["n"])
     }
