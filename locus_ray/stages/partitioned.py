@@ -152,8 +152,9 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
                              num_partitions: int | None = None,
                              hot_threshold: int | None = None,
                              carry: tuple[str, ...] = ("doc_id",),
-                             large_cover_cells: int = 64):
-    """Containment join via hash shuffle on (salted) cell id.
+                             large_cover_cells: int = 64,
+                             engine: str = "group"):
+    """Containment join via one cell-keyed exchange (salted).
 
     Hybrid skew handling: zones whose cell cover exceeds
     ``large_cover_cells`` would explode the shuffle (every doc in every
@@ -161,6 +162,19 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     broadcast :class:`GridContain` branch instead — the "broadcast the
     small side, shuffle the rest" rule applied per geometry.  The two
     branches union to the final (carry..., zone_id) rows.
+
+    ``engine`` picks the exchange shape:
+
+    - ``"group"`` (default): docs and zone-cover rows UNION into one
+      cell-keyed stream; ``groupby(cell_id).map_groups`` runs the
+      containment predicate per cell.  Each input row crosses the wire
+      exactly once and the doc x zone candidate cross-product lives
+      only in group-local numpy — the hash join materialized it to the
+      object store at ~8 columns x ~37 candidates/doc (the dominant
+      byte volume of the stage).  Requires a single int64 carry
+      column (both call sites comply).
+    - ``"join"``: ``Dataset.join`` on the salted cell key + vectorized
+      refine — kept for multi-column carries and as the A/B control.
     """
     import pyarrow.compute as pc
 
@@ -224,6 +238,63 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     z = _zone_cover(zones_small, res)
     if hot_threshold is not None:
         d, z = _apply_salting(d, z, hot_threshold)
+
+    if engine == "group" and len(carry) == 1:
+        key = carry[0]
+
+        def docs_shared(batch: pa.Table) -> pa.Table:
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cell_id": batch.column("cell_id"),
+                "gid": batch.column(key),
+                "c0": pa.array(x),
+                "c1": batch.column("y"),
+                "c2": pa.array(np.zeros(len(x))),
+                "c3": pa.array(np.zeros(len(x))),
+                "is_zone": pa.array(np.zeros(len(x), dtype=bool)),
+            })
+
+        def zones_shared(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "cell_id": batch.column("cell_id"),
+                "gid": batch.column("zone_id"),
+                "c0": batch.column("min_x"),
+                "c1": batch.column("max_x"),
+                "c2": batch.column("min_y"),
+                "c3": batch.column("max_y"),
+                "is_zone": pa.array(np.ones(n, dtype=bool)),
+            })
+
+        def group_fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table({key: pa.array([], type=pa.int64()),
+                              "zone_id": pa.array([], type=pa.int64())})
+            is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
+            if is_zone.all() or not is_zone.any():
+                return empty
+            gid = batch.column("gid").to_numpy(zero_copy_only=False)
+            c0 = batch.column("c0").to_numpy(zero_copy_only=False)
+            c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+            c2 = batch.column("c2").to_numpy(zero_copy_only=False)
+            c3 = batch.column("c3").to_numpy(zero_copy_only=False)
+            zi = np.nonzero(is_zone)[0]
+            di = np.nonzero(~is_zone)[0]
+            hit = contains_point(
+                c0[zi][None, :], c1[zi][None, :], c2[zi][None, :],
+                c3[zi][None, :], c0[di][:, None], c1[di][:, None])
+            a, b = np.nonzero(hit)
+            return pa.table({key: pa.array(gid[di][a]),
+                             "zone_id": pa.array(gid[zi][b])})
+
+        exchanged = d.map_batches(
+            docs_shared, batch_format="pyarrow", zero_copy_batch=True
+        ).union(z.map_batches(
+            zones_shared, batch_format="pyarrow", zero_copy_batch=True))
+        out = exchanged.groupby("cell_id").map_groups(
+            group_fn, batch_format="pyarrow")
+        if broadcast_branch is not None:
+            out = out.union(broadcast_branch)
+        return out
 
     joined = d.join(z, "inner", num_partitions, on=("cell_id",))
 

@@ -251,6 +251,25 @@ def test_partitioned_contain_join_with_salting(ray_session):
     assert set(zip(got["doc_id"], got["zone_id"])) == set(zip(exp["doc_id"], exp["zone_id"]))
 
 
+def test_contain_join_engines_equivalent(ray_session):
+    """The grouped (default) and hash-join exchange shapes emit the
+    same pair set, salted or not — the join engine stays covered as
+    the A/B control after the default switched to "group"."""
+    from locus_ray.sources import tables
+    from locus_ray.stages import partitioned
+
+    for hot in (None, 50):
+        pair_sets = []
+        for engine in ("group", "join"):
+            got = partitioned.contain_join_partitioned(
+                tables.docs_geo(SF), tables.zones_ds(SF), res=8,
+                num_partitions=4, hot_threshold=hot, engine=engine,
+            ).to_pandas()
+            pair_sets.append(set(zip(got["doc_id"], got["zone_id"])))
+        assert pair_sets[0] == pair_sets[1]
+        assert pair_sets[0]
+
+
 def test_resumable_flagship(ray_session, tmp_path):
     import numpy as np
 
