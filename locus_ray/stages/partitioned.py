@@ -148,6 +148,19 @@ def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64):
     )
 
 
+def _int_carry(ds, key: str) -> bool:
+    """True when ``key`` is an integer column of ``ds`` — the grouped
+    exchange unions doc and zone ids into ONE ``gid`` column, so a
+    string carry (e.g. a raw doc_id) cannot ride it and must take the
+    join engine instead."""
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        tp = dict(zip(sch.names, sch.types)).get(key)
+        return tp is not None and pa.types.is_integer(tp)
+    except Exception:
+        return False
+
+
 def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
                              num_partitions: int | None = None,
                              hot_threshold: int | None = None,
@@ -171,8 +184,9 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
       exactly once and the doc x zone candidate cross-product lives
       only in group-local numpy — the hash join materialized it to the
       object store at ~8 columns x ~37 candidates/doc (the dominant
-      byte volume of the stage).  Requires a single int64 carry
-      column (both call sites comply).
+      byte volume of the stage).  Requires a single integer carry
+      column; non-integer or multi-column carries fall back to the
+      join engine automatically.
     - ``"join"``: ``Dataset.join`` on the salted cell key + vectorized
       refine — kept for multi-column carries and as the A/B control.
     """
@@ -239,7 +253,7 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     if hot_threshold is not None:
         d, z = _apply_salting(d, z, hot_threshold)
 
-    if engine == "group" and len(carry) == 1:
+    if engine == "group" and len(carry) == 1 and _int_carry(docs, carry[0]):
         key = carry[0]
 
         def docs_shared(batch: pa.Table) -> pa.Table:
@@ -319,15 +333,34 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                          res: int = DEFAULT_CELL_RES, pad_rings: int = 1,
                          num_partitions: int | None = None,
                          carry: tuple[str, ...] = ("doc_id",),
-                         hot_threshold: int | None = None):
+                         hot_threshold: int | None = None,
+                         engine: str = "group"):
     """kNN join via cell-cover candidate shuffle + ring-bound fallback.
 
     Main path: zones explode their cover padded by ``pad_rings`` rings;
-    docs join candidates on home cell; per-doc top-k merge.  Docs whose
-    kth distance exceeds the searched-ring guarantee (or with < k
+    docs meet candidates on their home cell; per-doc top-k merge.  Docs
+    whose kth distance exceeds the searched-ring guarantee (or with < k
     candidates) are re-probed exactly via the broadcast
     :class:`GridKnn` (ring expansion continues from scratch for that
     small remainder).
+
+    ``engine`` picks the exchange shape (contain_join_partitioned's
+    scheme):
+
+    - ``"group"`` (default): docs and padded zone-cover rows UNION into
+      one cell-keyed stream; ``groupby(cell_id).map_groups`` scores the
+      doc x zone cross-product group-locally and emits only the <=k
+      winners + re-probe markers.  Each input row crosses the exchange
+      exactly once — the hash join materialized every (doc, candidate)
+      pair at ~9 columns to the object store, the dominant byte volume
+      of the stage — and per-doc candidate COLOCATION IS STRUCTURAL
+      (a group is exactly one cell), retiring the join path's
+      block-split hazard guard.  Requires a single integer carry
+      column; non-integer or multi-column carries fall back to the
+      join engine automatically.
+    - ``"join"``: left-outer ``Dataset.join`` on the salted cell key —
+      kept for multi-column carries and as the A/B control; needs the
+      block-size guard below.
     """
     from ..grid_index import GridKnn
 
@@ -368,63 +401,20 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     z = _zone_cover(zones_small, res, pad_rings=pad_rings)
     if hot_threshold is not None:
         d, z = _apply_salting(d, z, hot_threshold)
-    # LEFT OUTER so every doc reaches the top-k merge even with zero
-    # shuffled candidates (null zone rows become -1/inf sentinels)
-    joined = d.join(z, "left_outer", num_partitions, on=("cell_id",))
 
     min_cell = min(WORLD_W, WORLD_H) / (1 << res)
     bound = (pad_rings * min_cell) ** 2
     kk_total = min(k, len(zones_broadcast_payload["ids"]))
     key = carry[0]  # the vectorized merge keys on the first carry column
 
-    def score_and_topk(batch: pa.Table) -> pa.Table:
-        """Fused score + per-doc top-k merge over one join partition.
-
-        Fully vectorized (lexsort + run-length ranks — the technique
-        of grid_index.query's merge), replacing the per-doc pandas
-        ``map_groups`` of round 1 (VERDICT.md "What's wrong" #1).
-
-        PARTITIONING INVARIANT: every doc carries exactly ONE (salted)
-        cell key, so the hash join co-locates all of a doc's candidate
-        rows in one partition; with ``batch_size=None`` this function
-        sees whole partition blocks.  ``num_partitions`` must keep a
-        partition's candidate rows under the block-split threshold
-        (DataContext.target_max_block_size) — the salting stage bounds
-        per-partition doc counts, making this a sizing invariant of
-        the same kind as any hash join's memory bound.
-        """
-        import pyarrow.compute as pc
-        from ray.data import DataContext
-
-        # fail LOUDLY if the partitioning invariant is at risk: a join
-        # partition block at/near the block-split threshold has likely
-        # been split by the executor, scattering one doc's candidate
-        # rows across blocks and silently truncating its top-k.
-        tgt = DataContext.get_current().target_max_block_size
-        if tgt and batch.nbytes >= int(0.9 * tgt):
-            raise RuntimeError(
-                f"knn_join_partitioned: join partition block is "
-                f"{batch.nbytes}B, within 10% of target_max_block_size "
-                f"({tgt}B) — block splitting would break per-doc candidate "
-                f"colocation; raise num_partitions so each partition stays "
-                f"well under the block-split threshold")
-
-        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
-        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
-        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
-        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
-        x = batch.column("x").to_numpy(zero_copy_only=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        doc = batch.column(key).to_numpy(zero_copy_only=False)
-        with np.errstate(invalid="ignore"):
-            d2 = box_point_squared_distance(mnx, mxx, mny, mxy, x, y)
-        zid = pc.fill_null(batch.column("zone_id"), -1).to_numpy(zero_copy_only=False)
-
-        u_doc, first_idx = np.unique(doc, return_index=True)
-        ux, uy = x[first_idx], y[first_idx]
-
-        real = zid >= 0
-        rdoc, rzone, rd2 = doc[real], zid[real], d2[real]
+    def topk_emit(u_doc, ux, uy, rdoc, rzone, rd2) -> pa.Table:
+        """Per-doc top-k merge + completeness emit (shared by both
+        engines).  Fully vectorized (lexsort + run-length ranks — the
+        technique of grid_index.query's merge): flat candidate rows
+        (rdoc, rzone, rd2) dense-merge with the broadcast big zones,
+        the k smallest (d2, zone_id) per doc are kept, and docs whose
+        kth distance is not STRICTLY inside the searched-ring
+        guarantee emit ONE re-probe marker row instead."""
         if len(bp["ids"]):
             # dense-merge the broadcast big zones once per unique doc
             bd2 = box_point_squared_distance(
@@ -460,6 +450,9 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             g_complete = np.empty(0, dtype=bool)
             keep = np.empty(0, dtype=bool)
             rank = np.empty(0, dtype=np.int64)
+            rdoc = np.asarray(rdoc, dtype=np.int64)
+            rzone = np.asarray(rzone, dtype=np.int64)
+            rd2 = np.asarray(rd2, dtype=np.float64)
             n_done = 0
 
         # incomplete docs (ring bound not conclusive, or zero shuffled
@@ -485,13 +478,138 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                                      np.zeros(len(r_doc), dtype=bool)))),
         )
 
-    # materialize ONCE: the compact top-k rows (<= k per doc) — both the
-    # done filter and the redo filter read this, instead of re-running
-    # the whole shuffle DAG twice (ADVICE.md round 1)
-    merged = joined.map_batches(
-        score_and_topk, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).materialize()
+    if engine == "group" and len(carry) == 1 and _int_carry(docs, key):
+        def docs_shared(batch: pa.Table) -> pa.Table:
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cell_id": batch.column("cell_id"),
+                "gid": batch.column(key),
+                "c0": pa.array(x),
+                "c1": batch.column("y"),
+                "c2": pa.array(np.zeros(len(x))),
+                "c3": pa.array(np.zeros(len(x))),
+                "is_zone": pa.array(np.zeros(len(x), dtype=bool)),
+            })
+
+        def zones_shared(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "cell_id": batch.column("cell_id"),
+                "gid": batch.column("zone_id"),
+                "c0": batch.column("min_x"),
+                "c1": batch.column("max_x"),
+                "c2": batch.column("min_y"),
+                "c3": batch.column("max_y"),
+                "is_zone": pa.array(np.ones(n, dtype=bool)),
+            })
+
+        def group_fn(batch: pa.Table) -> pa.Table:
+            """One group == one (salted) cell: ALL of a doc's shuffled
+            candidates are here by construction.  Score the doc x zone
+            cross-product in group-local numpy and emit only winners +
+            re-probe markers — the exchange never carries a candidate
+            pair."""
+            is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
+            gid = batch.column("gid").to_numpy(zero_copy_only=False)
+            di = np.nonzero(~is_zone)[0]
+            u_doc = gid[di]
+            ux = batch.column("c0").to_numpy(zero_copy_only=False)[di]
+            uy = batch.column("c1").to_numpy(zero_copy_only=False)[di]
+            zi = np.nonzero(is_zone)[0]
+            nd, nz = len(di), len(zi)
+            if not nz or not nd:
+                return topk_emit(u_doc, ux, uy,
+                                 np.empty(0, dtype=np.int64),
+                                 np.empty(0, dtype=np.int64),
+                                 np.empty(0, dtype=np.float64))
+            zx0 = batch.column("c0").to_numpy(zero_copy_only=False)[zi][None, :]
+            zx1 = batch.column("c1").to_numpy(zero_copy_only=False)[zi][None, :]
+            zy0 = batch.column("c2").to_numpy(zero_copy_only=False)[zi][None, :]
+            zy1 = batch.column("c3").to_numpy(zero_copy_only=False)[zi][None, :]
+            zids = gid[zi]
+            # bound the transient nd x nz score matrix (~32 MB): chunk
+            # the DOC axis — every doc still scores ALL the group's
+            # zones inside its chunk, so per-doc top-k is unaffected
+            step = max(1, 4_000_000 // nz)
+            parts = []
+            for s in range(0, nd, step):
+                e = min(s + step, nd)
+                d2 = box_point_squared_distance(
+                    zx0, zx1, zy0, zy1, ux[s:e, None], uy[s:e, None])
+                parts.append(topk_emit(
+                    u_doc[s:e], ux[s:e], uy[s:e],
+                    np.repeat(u_doc[s:e], nz), np.tile(zids, e - s),
+                    d2.ravel()))
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+        exchanged = d.map_batches(
+            docs_shared, batch_format="pyarrow", zero_copy_batch=True
+        ).union(z.map_batches(
+            zones_shared, batch_format="pyarrow", zero_copy_batch=True))
+        # materialize ONCE: the compact top-k rows (<= k per doc) — the
+        # done filter and the redo filter both read this
+        merged = exchanged.groupby("cell_id").map_groups(
+            group_fn, batch_format="pyarrow").materialize()
+    else:
+        # LEFT OUTER so every doc reaches the top-k merge even with zero
+        # shuffled candidates (null zone rows become -1/inf sentinels)
+        joined = d.join(z, "left_outer", num_partitions, on=("cell_id",))
+
+        def score_and_topk(batch: pa.Table) -> pa.Table:
+            """Fused score + per-doc top-k merge over one join partition.
+
+            PARTITIONING INVARIANT: every doc carries exactly ONE
+            (salted) cell key, so the hash join co-locates all of a
+            doc's candidate rows in one partition; with
+            ``batch_size=None`` this function sees whole partition
+            blocks.  ``num_partitions`` must keep a partition's
+            candidate rows under the block-split threshold
+            (DataContext.target_max_block_size) — the salting stage
+            bounds per-partition doc counts, making this a sizing
+            invariant of the same kind as any hash join's memory
+            bound.  (The "group" engine has no such hazard.)
+            """
+            import pyarrow.compute as pc
+            from ray.data import DataContext
+
+            # fail LOUDLY if the partitioning invariant is at risk: a
+            # join partition block at/near the block-split threshold has
+            # likely been split by the executor, scattering one doc's
+            # candidate rows across blocks, silently truncating its top-k.
+            tgt = DataContext.get_current().target_max_block_size
+            if tgt and batch.nbytes >= int(0.9 * tgt):
+                raise RuntimeError(
+                    f"knn_join_partitioned: join partition block is "
+                    f"{batch.nbytes}B, within 10% of target_max_block_size "
+                    f"({tgt}B) — block splitting would break per-doc candidate "
+                    f"colocation; raise num_partitions so each partition stays "
+                    f"well under the block-split threshold")
+
+            mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+            mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+            mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+            mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            doc = batch.column(key).to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                d2 = box_point_squared_distance(mnx, mxx, mny, mxy, x, y)
+            zid = pc.fill_null(batch.column("zone_id"), -1).to_numpy(
+                zero_copy_only=False)
+
+            u_doc, first_idx = np.unique(doc, return_index=True)
+            ux, uy = x[first_idx], y[first_idx]
+
+            real = zid >= 0
+            return topk_emit(u_doc, ux, uy, doc[real], zid[real], d2[real])
+
+        # materialize ONCE: the compact top-k rows (<= k per doc) — both
+        # the done filter and the redo filter read this, instead of
+        # re-running the whole shuffle DAG twice (ADVICE.md round 1)
+        merged = joined.map_batches(
+            score_and_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
 
     done = merged.map_batches(
         lambda t: t.filter(t.column("complete")).select([key, "zone_id", "d2", "rnk"]),

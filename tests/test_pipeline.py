@@ -270,6 +270,38 @@ def test_contain_join_engines_equivalent(ray_session):
         assert pair_sets[0]
 
 
+def test_knn_join_engines_equivalent(ray_session):
+    """The grouped (default) and left-outer-join exchange shapes of the
+    shuffle kNN emit identical (doc, zone, d2, rnk) rows, salted or
+    not — and both match the broadcast-index oracle."""
+    import ray
+
+    from locus_ray import workload
+    from locus_ray.sources import tables
+    from locus_ray.stages import partitioned, spatial
+
+    ref = ray.put(tables.zones_payload(SF))
+    exp = (
+        tables.docs_geo(SF).map_batches(
+            spatial.KnnJoinActor, batch_format="pyarrow",
+            fn_constructor_kwargs={"build_ref": ref, "kind": "box", "res": 8,
+                                   "k": workload.K_ZONES, "id_out": "zone_id"},
+            concurrency=1,
+        ).to_pandas()
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    )
+    for hot in (None, 50):
+        for engine in ("group", "join"):
+            got = partitioned.knn_join_partitioned(
+                tables.docs_geo(SF), tables.zones_ds(SF),
+                tables.zones_payload(SF), k=workload.K_ZONES, res=8,
+                num_partitions=4, hot_threshold=hot, engine=engine,
+            ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+            assert list(got["doc_id"]) == list(exp["doc_id"]), (engine, hot)
+            assert list(got["zone_id"]) == list(exp["zone_id"]), (engine, hot)
+            assert list(got["d2"]) == list(exp["d2"]), (engine, hot)
+
+
 def test_resumable_flagship(ray_session, tmp_path):
     import numpy as np
 
