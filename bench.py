@@ -148,6 +148,15 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         carry=("doc_key",),
     ).count())
 
+    # q5b: shuffle-based kNN join (grouped cell exchange + ring-bound
+    # re-probe) — same capped slice rationale as q5
+    timed("knn_zones_shuffle", lambda: partitioned.knn_join_partitioned(
+        docs().limit(shuffle_docs), tables.zones_ds(sf_dir), zones_payload,
+        k=3, res=8, num_partitions=max(16, ncpus),
+        hot_threshold=200_000, carry=("doc_key",),
+        prebuilt_ref=zones_knn_ref,
+    ).count())
+
     # q6: PIP raster+refine join vs 25 polygons
     import numpy as np
     import pyarrow.parquet as pq

@@ -59,29 +59,63 @@ def _zone_cover(zones, res: int, pad_rings: int = 0):
     return zones.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
+#: distinct-cell count up to which detect_hot_cells reduces partial
+#: counts on the driver instead of paying a Ray groupby shuffle.  A
+#: dense int64 count vector of this size is 128 MB — trivially
+#: driver-resident — while the aggregate shuffle's fixed cost (~10 s
+#: observed at 2M rows) dwarfs the whole detection when nothing is hot.
+_DRIVER_REDUCE_KEYSPACE = 1 << 24
+
+
+def detect_hot_cells(docs_with_cells, threshold: int,
+                     keyspace: int | None = None) -> dict[int, int]:
     """cell_id -> salt fan-out for cells above ``threshold`` docs.
 
-    One tiny aggregate shuffle over (cell_id) partial counts; the
-    result is a small driver-side dict (hot cells are few by
-    definition), broadcast into the salting stages.
+    Per-block partial counts (``np.unique`` inside ``map_batches``),
+    then ONE reduce.  ``keyspace`` is the number of possible cell ids
+    (``4**res`` for grid keys): when given and small, the reduce is a
+    driver-side dense ``np.add.at`` over the streamed partials —
+    skipping the aggregate shuffle's fixed cost entirely.  At fine
+    resolutions (or unknown keyspace) the reduce stays a distributed
+    groupby with the hot filter applied BEFORE collection: pulling
+    every distinct cell's count to the driver would be a 10^8-row
+    materialization on a 10^12-doc corpus.
     """
-    from ray.data.aggregate import Sum
+
+    # deterministic stride sample: a cell at ``threshold`` rows shows
+    # >= ~1000 sampled rows whichever way rows are blocked (exactly
+    # n/stride if a block is cell-clustered, Binomial(n, 1/stride)
+    # otherwise — vanishing miss probability at this margin), so
+    # detection quality is unchanged while the partial-count volume
+    # and the reduce shrink by the stride.  Salting is a load-bounding
+    # heuristic: a near-threshold cell salted or not is correct either
+    # way (the engine equivalence tests drive both), so the sampled
+    # estimate n_hat = stride * sampled is a legitimate fan input.
+    stride = max(1, threshold // 1000)
 
     def partial(batch: pa.Table) -> pa.Table:
         cid, cnt = np.unique(
-            batch.column("cell_id").to_numpy(zero_copy_only=False), return_counts=True
+            batch.column("cell_id").to_numpy(zero_copy_only=False)[::stride],
+            return_counts=True,
         )
-        return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt)})
+        return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt * stride)})
+
+    partials = docs_with_cells.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if keyspace is not None and 0 < keyspace <= _DRIVER_REDUCE_KEYSPACE:
+        dense = np.zeros(keyspace, dtype=np.int64)
+        for batch in partials.iter_batches(batch_format="pyarrow"):
+            cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+            np.add.at(dense, cid, batch.column("n").to_numpy(zero_copy_only=False))
+        hot_ids = np.flatnonzero(dense > threshold)
+        return {int(c): int(-(-dense[c] // threshold)) for c in hot_ids}
 
     import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
-    # filter DISTRIBUTED, collect only the hot survivors: pulling every
-    # distinct cell's count to the driver is a 10^8-row materialization
-    # at fine resolutions on a 10^12-doc corpus
     hot = (
-        docs_with_cells.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+        partials.groupby("cell_id").aggregate(Sum("n", alias_name="n"))
         .map_batches(lambda t: t.filter(pc.greater(t.column("n"), threshold)),
                      batch_format="pyarrow")
         .to_pandas()
@@ -93,12 +127,13 @@ def detect_hot_cells(docs_with_cells, threshold: int) -> dict[int, int]:
     }
 
 
-def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64):
+def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64,
+                   keyspace: int | None = None):
     """Salt hot cells: docs in a hot cell split across ``fan`` sub-keys
     (deterministic from batch row position), the geometry side
     replicates its rows once per sub-key — bounding the largest join
     partition at ~``hot_threshold`` docs.  No-op when nothing is hot."""
-    salts = detect_hot_cells(d, hot_threshold)
+    salts = detect_hot_cells(d, hot_threshold, keyspace=keyspace)
     if not salts:
         return d, z
     # sorted hot-cell key + fan arrays: the per-row fan lookup is a
@@ -146,6 +181,46 @@ def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64):
         d.map_batches(salt_docs, batch_format="pyarrow", zero_copy_batch=True),
         z.map_batches(salt_geoms, batch_format="pyarrow", zero_copy_batch=True),
     )
+
+
+def _gkey_of(cell: np.ndarray, n_groups: int) -> np.ndarray:
+    """Deterministic (salted) cell -> coarse int32 group key.
+
+    The grouped exchanges group MANY cells per ``map_groups`` call:
+    one group per grid cell fired the group function ~4**res times on
+    ~30-row groups, and the per-call Python/Arrow overhead dominated
+    the stage (measured ~half the wall time at 2M docs).  Hashing
+    cells into ``n_groups`` coarse keys amortizes that overhead over
+    ~rows/n_groups-row groups; the within-cell pairing happens
+    vectorized inside the group function (:func:`_cell_pairs`).  The
+    multiplicative hash decorrelates the row-major cell layout (and
+    salted sub-keys) from the group assignment."""
+    h = cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(n_groups)).astype(np.int32)
+
+
+def _cell_pairs(cell: np.ndarray, is_zone: np.ndarray):
+    """Vectorized doc<->zone candidate pairing WITHIN exact cell over a
+    multi-cell group (CSR gather — the grid_index bucket technique).
+
+    Returns ``(di, zi, pd, pz)``: ``di``/``zi`` index the group's doc /
+    zone rows (zones sorted by cell), and pair ``p`` joins doc row
+    ``di[pd[p]]`` with zone row ``zi[pz[p]]`` sharing its cell."""
+    zi = np.nonzero(is_zone)[0]
+    di = np.nonzero(~is_zone)[0]
+    zcell = cell[zi]
+    zo = np.argsort(zcell, kind="stable")
+    zi = zi[zo]
+    zcell = zcell[zo]
+    dcell = cell[di]
+    lo = np.searchsorted(zcell, dcell, "left")
+    cnt = np.searchsorted(zcell, dcell, "right") - lo
+    pd = np.repeat(np.arange(len(di), dtype=np.int64), cnt)
+    total = int(cnt.sum())
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    pz = lo[pd] + within
+    return di, zi, pd, pz
 
 
 def _int_carry(ds, key: str) -> bool:
@@ -251,15 +326,19 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     d = _doc_cells(docs, res)
     z = _zone_cover(zones_small, res)
     if hot_threshold is not None:
-        d, z = _apply_salting(d, z, hot_threshold)
+        d, z = _apply_salting(d, z, hot_threshold, keyspace=1 << (2 * res))
 
     if engine == "group" and len(carry) == 1 and _int_carry(docs, carry[0]):
         key = carry[0]
 
+        n_groups = num_partitions
+
         def docs_shared(batch: pa.Table) -> pa.Table:
             x = batch.column("x").to_numpy(zero_copy_only=False)
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
             return pa.table({
-                "cell_id": batch.column("cell_id"),
+                "gkey": pa.array(_gkey_of(cell, n_groups)),
+                "cell_id": pa.array(cell),
                 "gid": batch.column(key),
                 "c0": pa.array(x),
                 "c1": batch.column("y"),
@@ -270,8 +349,10 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
 
         def zones_shared(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
             return pa.table({
-                "cell_id": batch.column("cell_id"),
+                "gkey": pa.array(_gkey_of(cell, n_groups)),
+                "cell_id": pa.array(cell),
                 "gid": batch.column("zone_id"),
                 "c0": batch.column("min_x"),
                 "c1": batch.column("max_x"),
@@ -281,30 +362,34 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
             })
 
         def group_fn(batch: pa.Table) -> pa.Table:
+            """One group = MANY cells (hashed gkey); candidate pairs
+            form within exact cell via the CSR gather and the
+            containment predicate runs on the flat pair arrays."""
             empty = pa.table({key: pa.array([], type=pa.int64()),
                               "zone_id": pa.array([], type=pa.int64())})
             is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
             if is_zone.all() or not is_zone.any():
+                return empty
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+            di, zi, pd_, pz = _cell_pairs(cell, is_zone)
+            if not len(pd_):
                 return empty
             gid = batch.column("gid").to_numpy(zero_copy_only=False)
             c0 = batch.column("c0").to_numpy(zero_copy_only=False)
             c1 = batch.column("c1").to_numpy(zero_copy_only=False)
             c2 = batch.column("c2").to_numpy(zero_copy_only=False)
             c3 = batch.column("c3").to_numpy(zero_copy_only=False)
-            zi = np.nonzero(is_zone)[0]
-            di = np.nonzero(~is_zone)[0]
-            hit = contains_point(
-                c0[zi][None, :], c1[zi][None, :], c2[zi][None, :],
-                c3[zi][None, :], c0[di][:, None], c1[di][:, None])
-            a, b = np.nonzero(hit)
-            return pa.table({key: pa.array(gid[di][a]),
-                             "zone_id": pa.array(gid[zi][b])})
+            dj, zj = di[pd_], zi[pz]
+            ok = contains_point(c0[zj], c1[zj], c2[zj], c3[zj],
+                                c0[dj], c1[dj])
+            return pa.table({key: pa.array(gid[dj][ok]),
+                             "zone_id": pa.array(gid[zj][ok])})
 
         exchanged = d.map_batches(
             docs_shared, batch_format="pyarrow", zero_copy_batch=True
         ).union(z.map_batches(
             zones_shared, batch_format="pyarrow", zero_copy_batch=True))
-        out = exchanged.groupby("cell_id").map_groups(
+        out = exchanged.groupby("gkey").map_groups(
             group_fn, batch_format="pyarrow")
         if broadcast_branch is not None:
             out = out.union(broadcast_branch)
@@ -334,7 +419,8 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                          num_partitions: int | None = None,
                          carry: tuple[str, ...] = ("doc_id",),
                          hot_threshold: int | None = None,
-                         engine: str = "group"):
+                         engine: str = "group",
+                         prebuilt_ref=None):
     """kNN join via cell-cover candidate shuffle + ring-bound fallback.
 
     Main path: zones explode their cover padded by ``pad_rings`` rings;
@@ -374,16 +460,22 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         num_partitions = num_partitions_for(docs.count(),
                                             rows_per_partition=50_000)
 
-    # hybrid skew split (see contain_join_partitioned): oversized zones
-    # are scored densely inside the per-doc top-k merge; only normal
-    # zones flow through the cover-explode shuffle.
+    # hybrid skew split: only WORLD-SPANNING zones are scored densely
+    # inside the per-doc top-k merge; everything else flows through the
+    # cover-explode shuffle.  The dense side costs |big| x n_docs
+    # scores while exploding a zone costs ~cover x docs_per_cell, so
+    # explode wins until a zone's cover approaches the WHOLE grid —
+    # the break-even is cover ~ 4**res, not a fixed count (at the old
+    # threshold of 64 cells the 402 moderately-big fixture zones cost
+    # 804M dense scores vs 66M exploded pairs).
     axis = 1 << res
+    large_cover = max(64, (axis * axis) // 4)
     p = zones_broadcast_payload
     nx = np.floor((p["max_x"] + 180.0) / 360.0 * axis) - np.floor(
         (p["min_x"] + 180.0) / 360.0 * axis) + 1
     ny = np.floor((p["max_y"] + 90.0) / 180.0 * axis) - np.floor(
         (p["min_y"] + 90.0) / 180.0 * axis) + 1
-    big_mask = (nx * ny) > 64
+    big_mask = (nx * ny) > large_cover
     bp = {k_: np.ascontiguousarray(v[big_mask]) for k_, v in p.items()}
 
     def drop_big(batch: pa.Table) -> pa.Table:
@@ -393,14 +485,14 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
         bnx = np.floor((mxx + 180.0) / 360.0 * axis) - np.floor((mnx + 180.0) / 360.0 * axis) + 1
         bny = np.floor((mxy + 90.0) / 180.0 * axis) - np.floor((mny + 90.0) / 180.0 * axis) + 1
-        return batch.filter(pa.array((bnx * bny) <= 64))
+        return batch.filter(pa.array((bnx * bny) <= large_cover))
 
     zones_small = zones.map_batches(drop_big, batch_format="pyarrow", zero_copy_batch=True)
 
     d = _doc_cells(docs, res)
     z = _zone_cover(zones_small, res, pad_rings=pad_rings)
     if hot_threshold is not None:
-        d, z = _apply_salting(d, z, hot_threshold)
+        d, z = _apply_salting(d, z, hot_threshold, keyspace=1 << (2 * res))
 
     min_cell = min(WORLD_W, WORLD_H) / (1 << res)
     bound = (pad_rings * min_cell) ** 2
@@ -416,16 +508,40 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         kth distance is not STRICTLY inside the searched-ring
         guarantee emit ONE re-probe marker row instead."""
         if len(bp["ids"]):
-            # dense-merge the broadcast big zones once per unique doc
-            bd2 = box_point_squared_distance(
-                bp["min_x"][None, :], bp["max_x"][None, :],
-                bp["min_y"][None, :], bp["max_y"][None, :],
-                ux[:, None], uy[:, None],
-            )
+            # dense-score the broadcast big zones once per unique doc,
+            # but merge only each doc's tie-inclusive top-k of the big
+            # side: entries with d2 > the doc's kth-smallest big d2 can
+            # never reach the global top-k, and keeping ALL entries at
+            # <= that threshold preserves the (d2, id) tie-break for
+            # the final lexsort to resolve.  Without this prune every
+            # doc dragged all |big| rows into the concat + lexsort
+            # (2M docs x 402 big zones = 800M sorted rows — the
+            # dominant cost of the whole stage); the transient
+            # nd x |big| score matrix is chunked to ~32 MB.
             m = len(bp["ids"])
-            rdoc = np.concatenate((rdoc, np.repeat(u_doc, m)))
-            rzone = np.concatenate((rzone, np.tile(bp["ids"], len(u_doc))))
-            rd2 = np.concatenate((rd2, bd2.ravel()))
+            bdocs, bzones, bd2s = [], [], []
+            step = max(1, 4_000_000 // m)
+            for s in range(0, len(u_doc), step):
+                e = min(s + step, len(u_doc))
+                bd2 = box_point_squared_distance(
+                    bp["min_x"][None, :], bp["max_x"][None, :],
+                    bp["min_y"][None, :], bp["max_y"][None, :],
+                    ux[s:e, None], uy[s:e, None],
+                )
+                if m > kk_total:
+                    kthv = np.partition(bd2, kk_total - 1, axis=1)[:, kk_total - 1]
+                    mask = bd2 <= kthv[:, None]
+                    cnt = mask.sum(axis=1)
+                    bdocs.append(np.repeat(u_doc[s:e], cnt))
+                    bzones.append(np.broadcast_to(bp["ids"], bd2.shape)[mask])
+                    bd2s.append(bd2[mask])
+                else:
+                    bdocs.append(np.repeat(u_doc[s:e], m))
+                    bzones.append(np.tile(bp["ids"], e - s))
+                    bd2s.append(bd2.ravel())
+            rdoc = np.concatenate([rdoc, *bdocs])
+            rzone = np.concatenate([rzone, *bzones])
+            rd2 = np.concatenate([rd2, *bd2s])
 
         out_cols: dict[str, np.ndarray]
         if len(rdoc):
@@ -479,10 +595,14 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         )
 
     if engine == "group" and len(carry) == 1 and _int_carry(docs, key):
+        n_groups = num_partitions
+
         def docs_shared(batch: pa.Table) -> pa.Table:
             x = batch.column("x").to_numpy(zero_copy_only=False)
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
             return pa.table({
-                "cell_id": batch.column("cell_id"),
+                "gkey": pa.array(_gkey_of(cell, n_groups)),
+                "cell_id": pa.array(cell),
                 "gid": batch.column(key),
                 "c0": pa.array(x),
                 "c1": batch.column("y"),
@@ -493,8 +613,10 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
         def zones_shared(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
             return pa.table({
-                "cell_id": batch.column("cell_id"),
+                "gkey": pa.array(_gkey_of(cell, n_groups)),
+                "cell_id": pa.array(cell),
                 "gid": batch.column("zone_id"),
                 "c0": batch.column("min_x"),
                 "c1": batch.column("max_x"),
@@ -504,43 +626,40 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             })
 
         def group_fn(batch: pa.Table) -> pa.Table:
-            """One group == one (salted) cell: ALL of a doc's shuffled
-            candidates are here by construction.  Score the doc x zone
-            cross-product in group-local numpy and emit only winners +
-            re-probe markers — the exchange never carries a candidate
+            """One group = MANY cells (hashed gkey); every doc's home
+            cell hashes to exactly one group, so ALL of its shuffled
+            candidates are here by construction.  Candidate pairs form
+            within exact cell via the CSR gather, are scored on the
+            flat pair arrays, and only the <=k winners + re-probe
+            markers leave — the exchange never carries a candidate
             pair."""
             is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
             gid = batch.column("gid").to_numpy(zero_copy_only=False)
-            di = np.nonzero(~is_zone)[0]
-            u_doc = gid[di]
-            ux = batch.column("c0").to_numpy(zero_copy_only=False)[di]
-            uy = batch.column("c1").to_numpy(zero_copy_only=False)[di]
-            zi = np.nonzero(is_zone)[0]
-            nd, nz = len(di), len(zi)
-            if not nz or not nd:
+            cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+            c0 = batch.column("c0").to_numpy(zero_copy_only=False)
+            c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+            di, zi, pd_, pz = _cell_pairs(cell, is_zone)
+            u_doc, ux, uy = gid[di], c0[di], c1[di]
+            if not len(pd_):
                 return topk_emit(u_doc, ux, uy,
                                  np.empty(0, dtype=np.int64),
                                  np.empty(0, dtype=np.int64),
                                  np.empty(0, dtype=np.float64))
-            zx0 = batch.column("c0").to_numpy(zero_copy_only=False)[zi][None, :]
-            zx1 = batch.column("c1").to_numpy(zero_copy_only=False)[zi][None, :]
-            zy0 = batch.column("c2").to_numpy(zero_copy_only=False)[zi][None, :]
-            zy1 = batch.column("c3").to_numpy(zero_copy_only=False)[zi][None, :]
-            zids = gid[zi]
-            # bound the transient nd x nz score matrix (~32 MB): chunk
-            # the DOC axis — every doc still scores ALL the group's
-            # zones inside its chunk, so per-doc top-k is unaffected
-            step = max(1, 4_000_000 // nz)
-            parts = []
-            for s in range(0, nd, step):
-                e = min(s + step, nd)
-                d2 = box_point_squared_distance(
-                    zx0, zx1, zy0, zy1, ux[s:e, None], uy[s:e, None])
-                parts.append(topk_emit(
-                    u_doc[s:e], ux[s:e], uy[s:e],
-                    np.repeat(u_doc[s:e], nz), np.tile(zids, e - s),
-                    d2.ravel()))
-            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            c2 = batch.column("c2").to_numpy(zero_copy_only=False)
+            c3 = batch.column("c3").to_numpy(zero_copy_only=False)
+            dj, zj = di[pd_], zi[pz]
+            rd2 = box_point_squared_distance(c0[zj], c1[zj], c2[zj], c3[zj],
+                                             c0[dj], c1[dj])
+            # EXACT prune before the per-doc merge: a candidate with
+            # d2 >= bound can never be emitted — a COMPLETE doc's
+            # top-k all satisfy d2 <= kth < bound, and an incomplete
+            # doc discards its pairs for the re-probe marker.  And
+            # completeness itself is unchanged: complete <=> at least
+            # k candidates with d2 < bound, which the pruned set
+            # preserves by construction.
+            near = rd2 < bound
+            return topk_emit(u_doc, ux, uy, gid[dj][near], gid[zj][near],
+                             rd2[near])
 
         exchanged = d.map_batches(
             docs_shared, batch_format="pyarrow", zero_copy_batch=True
@@ -548,7 +667,7 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             zones_shared, batch_format="pyarrow", zero_copy_batch=True))
         # materialize ONCE: the compact top-k rows (<= k per doc) — the
         # done filter and the redo filter both read this
-        merged = exchanged.groupby("cell_id").map_groups(
+        merged = exchanged.groupby("gkey").map_groups(
             group_fn, batch_format="pyarrow").materialize()
     else:
         # LEFT OUTER so every doc reaches the top-k merge even with zero
@@ -626,7 +745,12 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     # driver-side GridKnn probe, VERDICT.md "What's wrong" #2)
     from .spatial import KnnJoinActor
 
-    build_ref = ray.put(zones_broadcast_payload)
+    # ``prebuilt_ref`` (a ray.put GridKnn, e.g. bench's untimed
+    # prebuild) skips the per-actor bounds-list construction in the
+    # re-probe pool — at 20k zones that build is ~10 s PER ACTOR while
+    # the redo stream itself is ~0.1% of docs
+    build_ref = prebuilt_ref if prebuilt_ref is not None \
+        else ray.put(zones_broadcast_payload)
     extra = redo.map_batches(
         KnnJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"build_ref": build_ref, "kind": "box",
