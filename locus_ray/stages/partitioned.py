@@ -499,6 +499,76 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     kk_total = min(k, len(zones_broadcast_payload["ids"]))
     key = carry[0]  # the vectorized merge keys on the first carry column
 
+    def _emit(n_done, rdoc_keep, rzone_keep, rd2_keep, rnk_keep,
+              r_doc, rx, ry) -> pa.Table:
+        """Assemble the output table: ``n_done`` kept winner rows
+        followed by one re-probe marker row per incomplete doc."""
+        out_cols = {
+            key: np.concatenate((rdoc_keep, r_doc)),
+            "x": np.concatenate((np.repeat(np.nan, n_done), rx)),
+            "y": np.concatenate((np.repeat(np.nan, n_done), ry)),
+            "zone_id": np.concatenate((rzone_keep,
+                                       np.full(len(r_doc), -1, dtype=np.int64))),
+            "d2": np.concatenate((rd2_keep, np.full(len(r_doc), np.inf))),
+            "rnk": np.concatenate((rnk_keep,
+                                   np.ones(len(r_doc), dtype=np.int64))),
+        }
+        t = pa.table({c: pa.array(v) for c, v in out_cols.items()})
+        return t.append_column(
+            "complete",
+            pa.array(np.concatenate((np.ones(n_done, dtype=bool),
+                                     np.zeros(len(r_doc), dtype=bool)))),
+        )
+
+    def topk_emit_contiguous(u_doc, ux, uy, rdoc, rzone, rd2) -> pa.Table:
+        """Per-doc top-k merge for DOC-CONTIGUOUS candidate rows (the
+        grouped engine's _cell_pairs emits runs per doc), valid only
+        when the dense big-zone side is empty (appended bp rows would
+        break contiguity).
+
+        kk_total rounds of segmented argmin (``np.minimum.reduceat``
+        over the run starts, zone-id tie-break via a second reduceat
+        over the tied rows) replace the 3-key lexsort — O(n) passes
+        instead of O(n log n) stable argsorts on the stage's largest
+        transient (~35 candidates/doc in the dense fixture).  Bit-
+        identical output to the lexsort path (the engine equivalence
+        test drives both)."""
+        if not len(rdoc):
+            return _emit(0, np.empty(0, dtype=np.int64),
+                         np.empty(0, dtype=np.int64),
+                         np.empty(0, dtype=np.float64),
+                         np.empty(0, dtype=np.int64), u_doc, ux, uy)
+        starts = np.flatnonzero(
+            np.concatenate(([True], rdoc[1:] != rdoc[:-1])))
+        counts = np.diff(np.append(starts, len(rdoc)))
+        g_doc = rdoc[starts]
+        nruns = len(starts)
+        run_of = np.repeat(np.arange(nruns, dtype=np.int64), counts)
+        work = rd2.copy()
+        imax = np.iinfo(np.int64).max
+        sel_d2 = np.empty((kk_total, nruns))
+        sel_zone = np.empty((kk_total, nruns), dtype=np.int64)
+        for r in range(kk_total):
+            m = np.minimum.reduceat(work, starts)
+            tie = work == m[run_of]
+            z = np.minimum.reduceat(np.where(tie, rzone, imax), starts)
+            sel_d2[r], sel_zone[r] = m, z
+            work[tie & (rzone == z[run_of])] = np.inf
+        # pruned input guarantees every candidate d2 < bound, so the
+        # strict kth < bound retirement reduces to counts >= kk_total
+        g_complete = counts >= kk_total
+        n_comp = int(g_complete.sum())
+        done_docs = g_doc[g_complete]
+        redo_mask = ~np.isin(u_doc, done_docs, assume_unique=True)
+        return _emit(
+            n_comp * kk_total,
+            np.repeat(done_docs, kk_total),
+            sel_zone[:, g_complete].T.ravel(),
+            sel_d2[:, g_complete].T.ravel(),
+            np.tile(np.arange(1, kk_total + 1, dtype=np.int64), n_comp),
+            u_doc[redo_mask], ux[redo_mask], uy[redo_mask],
+        )
+
     def topk_emit(u_doc, ux, uy, rdoc, rzone, rd2) -> pa.Table:
         """Per-doc top-k merge + completeness emit (shared by both
         engines).  Fully vectorized (lexsort + run-length ranks — the
@@ -638,13 +708,17 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
             c0 = batch.column("c0").to_numpy(zero_copy_only=False)
             c1 = batch.column("c1").to_numpy(zero_copy_only=False)
+            # _cell_pairs emits pairs in doc-run order, so the
+            # segmented-argmin merge applies whenever no dense bp rows
+            # get appended (they would break run contiguity)
+            emit = topk_emit if len(bp["ids"]) else topk_emit_contiguous
             di, zi, pd_, pz = _cell_pairs(cell, is_zone)
             u_doc, ux, uy = gid[di], c0[di], c1[di]
             if not len(pd_):
-                return topk_emit(u_doc, ux, uy,
-                                 np.empty(0, dtype=np.int64),
-                                 np.empty(0, dtype=np.int64),
-                                 np.empty(0, dtype=np.float64))
+                return emit(u_doc, ux, uy,
+                            np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
             c2 = batch.column("c2").to_numpy(zero_copy_only=False)
             c3 = batch.column("c3").to_numpy(zero_copy_only=False)
             dj, zj = di[pd_], zi[pz]
@@ -658,8 +732,8 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             # k candidates with d2 < bound, which the pruned set
             # preserves by construction.
             near = rd2 < bound
-            return topk_emit(u_doc, ux, uy, gid[dj][near], gid[zj][near],
-                             rd2[near])
+            return emit(u_doc, ux, uy, gid[dj][near], gid[zj][near],
+                        rd2[near])
 
         exchanged = d.map_batches(
             docs_shared, batch_format="pyarrow", zero_copy_batch=True
