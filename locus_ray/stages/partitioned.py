@@ -199,15 +199,15 @@ def _gkey_of(cell: np.ndarray, n_groups: int) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(n_groups)).astype(np.int32)
 
 
-def _cell_pairs(cell: np.ndarray, is_zone: np.ndarray):
-    """Vectorized doc<->zone candidate pairing WITHIN exact cell over a
+def _csr_pairs(cell: np.ndarray, di: np.ndarray, zi: np.ndarray):
+    """Vectorized probe<->build pairing WITHIN exact cell over a
     multi-cell group (CSR gather — the grid_index bucket technique).
+    ``di``/``zi`` are row-index arrays into ``cell`` and may overlap
+    (e.g. a self-join pairs residents against ALL rows).
 
-    Returns ``(di, zi, pd, pz)``: ``di``/``zi`` index the group's doc /
-    zone rows (zones sorted by cell), and pair ``p`` joins doc row
-    ``di[pd[p]]`` with zone row ``zi[pz[p]]`` sharing its cell."""
-    zi = np.nonzero(is_zone)[0]
-    di = np.nonzero(~is_zone)[0]
+    Returns ``(di, zi, pd, pz)`` with ``zi`` re-sorted by cell; pair
+    ``p`` joins probe row ``di[pd[p]]`` with build row ``zi[pz[p]]``
+    sharing its cell."""
     zcell = cell[zi]
     zo = np.argsort(zcell, kind="stable")
     zi = zi[zo]
@@ -221,6 +221,11 @@ def _cell_pairs(cell: np.ndarray, is_zone: np.ndarray):
     within = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
     pz = lo[pd] + within
     return di, zi, pd, pz
+
+
+def _cell_pairs(cell: np.ndarray, is_zone: np.ndarray):
+    """:func:`_csr_pairs` with the doc/zone split given as a mask."""
+    return _csr_pairs(cell, np.nonzero(~is_zone)[0], np.nonzero(is_zone)[0])
 
 
 def _int_carry(ds, key: str) -> bool:
@@ -837,7 +842,8 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
 def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
                           x_col: str = "x", y_col: str = "y",
-                          carry_col: str | None = None):
+                          carry_col: str | None = None,
+                          num_partitions: int | None = None):
     """All unordered point pairs within CLOSED Euclidean ``radius``:
     ``(id_a, id_b, d2)`` with ``id_a < id_b`` and ``d2 <= radius**2``.
 
@@ -866,9 +872,14 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
     ``id_a``/``id_b``) — the simhash lesson: carrying a scalar through
     the existing exchange beats joining it back afterwards.
     """
-    from ..config import WORLD_MIN_X, WORLD_MIN_Y
+    from ..config import WORLD_MIN_X, WORLD_MIN_Y, num_partitions_for
 
     r2 = radius * radius
+    if num_partitions is None:
+        # metadata-only for the fresh reads every call site passes
+        num_partitions = num_partitions_for(ds.count(),
+                                            rows_per_partition=100_000)
+    n_groups = num_partitions
 
     def explode(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).to_numpy(zero_copy_only=False)
@@ -884,8 +895,10 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         gx = cx[rep] + np.tile(dxs, n)
         gy = cy[rep] + np.tile(dys, n)
         res = np.tile(np.array([True, False, False, False, False]), n)
+        cell = gx * np.int64(1 << 31) + gy
         cols = {
-            "cell": gx * np.int64(1 << 31) + gy,
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell),
             id_col: pa.array(ids[rep]),
             x_col: pa.array(x[rep]),
             y_col: pa.array(y[rep]),
@@ -896,10 +909,17 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         return pa.table(cols)
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
+        """One group = MANY cells (hashed gkey; the one-group-per-cell
+        shape fired this function once per occupied radius-cell and
+        the per-call overhead dominated).  Residents pair with every
+        same-cell row via the CSR gather; distances and the pair
+        dedup run on the flat pair arrays (dx*dx+dy*dy per pair is
+        bit-identical to the old per-cell matrix entries)."""
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         x = batch.column(x_col).to_numpy(zero_copy_only=False)
         y = batch.column(y_col).to_numpy(zero_copy_only=False)
         res = batch.column("is_res").to_numpy(zero_copy_only=False)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
         ri = np.nonzero(res)[0]
         empty_cols = {"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
@@ -911,32 +931,38 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         empty = pa.table(empty_cols)
         if len(ri) == 0:
             return empty
-        dx = x[ri][:, None] - x[None, :]
-        dy = y[ri][:, None] - y[None, :]
+        di_, zi_, pd_, pz = _csr_pairs(cell, ri, np.arange(len(ids),
+                                                           dtype=np.int64))
+        if not len(pd_):
+            return empty
+        a_row = di_[pd_]        # resident row per pair
+        b_row = zi_[pz]         # same-cell member row per pair
+        dx = x[a_row] - x[b_row]
+        dy = y[a_row] - y[b_row]
         d2 = dx * dx + dy * dy
-        hit = d2 <= r2
-        # residents vs residents: keep strictly-upper (within ri order)
-        # to emit each same-cell pair once; residents vs visitors: all
+        # residents vs residents: keep each unordered same-cell pair
+        # once (strict order on the residents' global positions, which
+        # is consistent within any one cell and excludes self-pairs);
+        # residents vs visitors: all
         pos_r = np.full(len(ids), -1, dtype=np.int64)
         pos_r[ri] = np.arange(len(ri))
-        col_resrank = pos_r[None, :]
-        keep = hit & ((col_resrank < 0) | (col_resrank > np.arange(len(ri))[:, None]))
-        a, b = np.nonzero(keep)
-        ia, ib = ids[ri][a], ids[b]
+        keep = (d2 <= r2) & ((pos_r[b_row] < 0) | (pos_r[b_row] > pos_r[a_row]))
+        a_row, b_row, d2 = a_row[keep], b_row[keep], d2[keep]
+        ia, ib = ids[a_row], ids[b_row]
         lo = np.minimum(ia, ib)
         hi = np.maximum(ia, ib)
         cols = {"id_a": pa.array(lo), "id_b": pa.array(hi),
-                "d2": pa.array(d2[a, b])}
+                "d2": pa.array(d2)}
         if carry_col is not None:
             v = batch.column(carry_col).to_numpy(zero_copy_only=False)
             swap = ia > ib  # align carried values with the (lo, hi) order
-            cols["va"] = pa.array(np.where(swap, v[b], v[ri][a]))
-            cols["vb"] = pa.array(np.where(swap, v[ri][a], v[b]))
+            cols["va"] = pa.array(np.where(swap, v[b_row], v[a_row]))
+            cols["vb"] = pa.array(np.where(swap, v[a_row], v[b_row]))
         return pa.table(cols)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return exploded.groupby("cell").map_groups(
+    return exploded.groupby("gkey").map_groups(
         pairs_of_group, batch_format="pyarrow")
 
 
