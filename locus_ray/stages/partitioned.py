@@ -1090,6 +1090,12 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
         branches.append(ds.map_batches(vs_big, batch_format="pyarrow",
                                        zero_copy_batch=True))
 
+    from ..config import num_partitions_for
+
+    # post-materialize count is metadata-cheap; covers multiply rows,
+    # but rows_per_partition already budgets for O(10)-cell covers
+    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sx = batch.column("start_x").to_numpy(zero_copy_only=False)
@@ -1100,36 +1106,50 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
             ids, np.minimum(sx, ex), np.maximum(sx, ex),
             np.minimum(sy, ey), np.maximum(sy, ey), res)
         return pa.table({
-            "cell": cell,
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell),
             id_col: pa.array(ids[rep]),
             "start_x": pa.array(sx[rep]), "start_y": pa.array(sy[rep]),
             "end_x": pa.array(ex[rep]), "end_y": pa.array(ey[rep]),
         })
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
+        """One group = MANY cells (hashed gkey — one group per cell
+        fired this once per occupied cover-cell).  Same-cell candidate
+        pairs via the CSR gather, the a<b half only (the per-cell
+        matrix evaluated the full m x m); min-corner dedup per pair
+        against the pair's own cell."""
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sx = batch.column("start_x").to_numpy(zero_copy_only=False)
         sy = batch.column("start_y").to_numpy(zero_copy_only=False)
         ex = batch.column("end_x").to_numpy(zero_copy_only=False)
         ey = batch.column("end_y").to_numpy(zero_copy_only=False)
-        cell = int(batch.column("cell")[0].as_py())
-        m = len(ids)
-        upper = np.arange(m)[:, None] < np.arange(m)[None, :]
-        hit = upper & segments_intersect(
-            sx[:, None], sy[:, None], ex[:, None], ey[:, None],
-            sx[None, :], sy[None, :], ex[None, :], ey[None, :])
-        a, b = np.nonzero(hit)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        rows = np.arange(n, dtype=np.int64)
+        di_, zi_, pd_, pz = _csr_pairs(cell, rows, rows)
+        a = di_[pd_]
+        b = zi_[pz]
+        half = a < b  # one orientation per unordered pair, no self-pairs
+        a, b = a[half], b[half]
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if not len(a):
+            return empty
+        hit = segments_intersect(sx[a], sy[a], ex[a], ey[a],
+                                 sx[b], sy[b], ex[b], ey[b])
+        a, b = a[hit], b[hit]
         # min-corner dedup over the bbox intersection's low corner
         xlo = np.maximum(np.minimum(sx[a], ex[a]), np.minimum(sx[b], ex[b]))
         ylo = np.maximum(np.minimum(sy[a], ey[a]), np.minimum(sy[b], ey[b]))
-        keep = (fx(xlo) * axis + fy(ylo)) == cell
+        keep = (fx(xlo) * axis + fy(ylo)) == cell[a]
         ia, ib = ids[a[keep]], ids[b[keep]]
         return pa.table({"id_a": pa.array(np.minimum(ia, ib)),
                          "id_b": pa.array(np.maximum(ia, ib))})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
-    out = exploded.groupby("cell").map_groups(
+    out = exploded.groupby("gkey").map_groups(
         pairs_of_group, batch_format="pyarrow")
     for br in branches:
         out = out.union(br)
@@ -1216,6 +1236,10 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
         big_branch = segments.map_batches(vs_big, batch_format="pyarrow",
                                           zero_copy_batch=True)
 
+    from ..config import num_partitions_for
+
+    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+
     def explode_zones(batch: pa.Table) -> pa.Table:
         ids = batch.column(zone_id).to_numpy(zero_copy_only=False)
         mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
@@ -1224,7 +1248,8 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
         mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
         cell, rep = _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res)
         return pa.table({
-            "cell": cell, "gid": pa.array(ids[rep]),
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell), "gid": pa.array(ids[rep]),
             "c0": pa.array(mnx[rep]), "c1": pa.array(mxx[rep]),
             "c2": pa.array(mny[rep]), "c3": pa.array(mxy[rep]),
             "is_zone": pa.array(np.ones(len(rep), dtype=bool)),
@@ -1240,13 +1265,18 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
             ids, np.minimum(sx, ex), np.maximum(sx, ex),
             np.minimum(sy, ey), np.maximum(sy, ey), res)
         return pa.table({
-            "cell": cell, "gid": pa.array(ids[rep]),
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell), "gid": pa.array(ids[rep]),
             "c0": pa.array(sx[rep]), "c1": pa.array(sy[rep]),
             "c2": pa.array(ex[rep]), "c3": pa.array(ey[rep]),
             "is_zone": pa.array(np.zeros(len(rep), dtype=bool)),
         })
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
+        """One group = MANY cells (hashed gkey); zone<->segment pairs
+        form within exact cell via the CSR gather, the intersection
+        predicate runs on the flat pair arrays, min-corner dedup per
+        pair against the pair's own cell."""
         empty = pa.table({zone_id: pa.array([], type=pa.int64()),
                           seg_id: pa.array([], type=pa.int64())})
         is_zone = batch.column("is_zone").to_numpy(zero_copy_only=False)
@@ -1257,26 +1287,27 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
         c1 = batch.column("c1").to_numpy(zero_copy_only=False)
         c2 = batch.column("c2").to_numpy(zero_copy_only=False)
         c3 = batch.column("c3").to_numpy(zero_copy_only=False)
-        cell = int(batch.column("cell")[0].as_py())
-        zi = np.nonzero(is_zone)[0]
-        si = np.nonzero(~is_zone)[0]
-        mnx, mxx, mny, mxy = c0[zi], c1[zi], c2[zi], c3[zi]
-        sx, sy, ex, ey = c0[si], c1[si], c2[si], c3[si]
-        hit = box_segment_intersects(
-            mnx[:, None], mxx[:, None], mny[:, None], mxy[:, None],
-            sx[None, :], sy[None, :], ex[None, :], ey[None, :])
-        z, s = np.nonzero(hit)
-        xlo = np.maximum(mnx[z], np.minimum(sx[s], ex[s]))
-        ylo = np.maximum(mny[z], np.minimum(sy[s], ey[s]))
-        keep = (fx(xlo) * axis + fy(ylo)) == cell
-        return pa.table({zone_id: pa.array(gid[zi][z[keep]]),
-                         seg_id: pa.array(gid[si][s[keep]])})
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        # probe side = segments, build side = zones
+        si_, zi_, pd_, pz = _cell_pairs(cell, is_zone)
+        if not len(pd_):
+            return empty
+        s = si_[pd_]
+        z = zi_[pz]
+        hit = box_segment_intersects(c0[z], c1[z], c2[z], c3[z],
+                                     c0[s], c1[s], c2[s], c3[s])
+        z, s = z[hit], s[hit]
+        xlo = np.maximum(c0[z], np.minimum(c0[s], c2[s]))
+        ylo = np.maximum(c2[z], np.minimum(c1[s], c3[s]))
+        keep = (fx(xlo) * axis + fy(ylo)) == cell[z]
+        return pa.table({zone_id: pa.array(gid[z[keep]]),
+                         seg_id: pa.array(gid[s[keep]])})
 
     exploded = zones.map_batches(
         explode_zones, batch_format="pyarrow", zero_copy_batch=True
     ).union(segments.map_batches(
         explode_segs, batch_format="pyarrow", zero_copy_batch=True))
-    out = exploded.groupby("cell").map_groups(
+    out = exploded.groupby("gkey").map_groups(
         pairs_of_group, batch_format="pyarrow")
     if big_branch is not None:
         out = out.union(big_branch)
@@ -1299,15 +1330,21 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
     one vectorized P6 matrix."""
     from ..kernels import segment_point_squared_distance
 
+    from ..config import num_partitions_for
+
     axis, fx, fy = _cell_floor_fns(res)
     r2 = radius * radius
+    # metadata-only for the fresh reads the call sites pass
+    n_groups = num_partitions_for(docs.count(), rows_per_partition=100_000)
 
     def explode_docs(batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
         y = batch.column("y").to_numpy(zero_copy_only=False)
         n = len(x)
+        cell = fx(x) * axis + fy(y)
         return pa.table({
-            "cell": fx(x) * axis + fy(y),
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell),
             "gid": batch.column(doc_id),
             "c0": pa.array(x), "c1": pa.array(y),
             "c2": pa.array(np.zeros(n)), "c3": pa.array(np.zeros(n)),
@@ -1324,13 +1361,17 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
             ids, np.minimum(sx, ex) - radius, np.maximum(sx, ex) + radius,
             np.minimum(sy, ey) - radius, np.maximum(sy, ey) + radius, res)
         return pa.table({
-            "cell": cell, "gid": pa.array(ids[rep]),
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell), "gid": pa.array(ids[rep]),
             "c0": pa.array(sx[rep]), "c1": pa.array(sy[rep]),
             "c2": pa.array(ex[rep]), "c3": pa.array(ey[rep]),
             "is_seg": pa.array(np.ones(len(rep), dtype=bool)),
         })
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
+        """One group = MANY cells (hashed gkey); doc<->segment pairs
+        form within exact cell via the CSR gather, the P6 kernel runs
+        on the flat pair arrays."""
         empty = pa.table({doc_id: pa.array([], type=pa.int64()),
                           seg_id: pa.array([], type=pa.int64()),
                           "d2": pa.array([], type=pa.float64())})
@@ -1342,21 +1383,24 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
         c1 = batch.column("c1").to_numpy(zero_copy_only=False)
         c2 = batch.column("c2").to_numpy(zero_copy_only=False)
         c3 = batch.column("c3").to_numpy(zero_copy_only=False)
-        di = np.nonzero(~is_seg)[0]
-        si = np.nonzero(is_seg)[0]
-        d2 = segment_point_squared_distance(
-            c0[si][None, :], c1[si][None, :], c2[si][None, :], c3[si][None, :],
-            c0[di][:, None], c1[di][:, None])
-        d, s = np.nonzero(d2 <= r2)
-        return pa.table({doc_id: pa.array(gid[di][d]),
-                         seg_id: pa.array(gid[si][s]),
-                         "d2": pa.array(d2[d, s])})
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        di_, si_, pd_, pz = _cell_pairs(cell, is_seg)
+        if not len(pd_):
+            return empty
+        d = di_[pd_]
+        s = si_[pz]
+        d2 = segment_point_squared_distance(c0[s], c1[s], c2[s], c3[s],
+                                            c0[d], c1[d])
+        hit = d2 <= r2
+        return pa.table({doc_id: pa.array(gid[d[hit]]),
+                         seg_id: pa.array(gid[s[hit]]),
+                         "d2": pa.array(d2[hit])})
 
     exploded = docs.map_batches(
         explode_docs, batch_format="pyarrow", zero_copy_batch=True
     ).union(segments.map_batches(
         explode_segs, batch_format="pyarrow", zero_copy_batch=True))
-    return exploded.groupby("cell").map_groups(
+    return exploded.groupby("gkey").map_groups(
         pairs_of_group, batch_format="pyarrow")
 
 
@@ -1458,6 +1502,10 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
         branches.append(small.map_batches(vs_big, batch_format="pyarrow",
                                           zero_copy_batch=True))
 
+    from ..config import num_partitions_for
+
+    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
@@ -1478,32 +1526,46 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
         ny_r = np.repeat(ny, counts)
         gx = np.repeat(cx_lo, counts) + local // ny_r
         gy = np.repeat(cy_lo, counts) + local % ny_r
+        cell = gx * axis + gy
         return pa.table({
-            "cell": gx * axis + gy,
+            "gkey": pa.array(_gkey_of(cell, n_groups)),
+            "cell": pa.array(cell),
             id_col: pa.array(ids[rep]),
             "min_x": pa.array(mnx[rep]), "max_x": pa.array(mxx[rep]),
             "min_y": pa.array(mny[rep]), "max_y": pa.array(mxy[rep]),
         })
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
+        """One group = MANY cells (hashed gkey); same-cell candidate
+        pairs via the CSR gather, a<b half only, strict-overlap
+        predicate on the flat pair arrays, min-corner dedup per pair
+        against the pair's own cell."""
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
         mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
         mny = batch.column("min_y").to_numpy(zero_copy_only=False)
         mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
-        cell = int(batch.column("cell")[0].as_py())
-        # strict interior overlap, upper triangle only
-        hit = ((mnx[:, None] < mxx[None, :]) & (mnx[None, :] < mxx[:, None])
-               & (mny[:, None] < mxy[None, :]) & (mny[None, :] < mxy[:, None])
-               & (np.arange(len(ids))[:, None] < np.arange(len(ids))[None, :]))
-        a, b = np.nonzero(hit)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        rows = np.arange(len(ids), dtype=np.int64)
+        di_, zi_, pd_, pz = _csr_pairs(cell, rows, rows)
+        a = di_[pd_]
+        b = zi_[pz]
+        half = a < b
+        a, b = a[half], b[half]
+        if not len(a):
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        # strict interior overlap on the flat pair arrays
+        hit = ((mnx[a] < mxx[b]) & (mnx[b] < mxx[a])
+               & (mny[a] < mxy[b]) & (mny[b] < mxy[a]))
+        a, b = a[hit], b[hit]
         # min-corner dedup: keep the pair iff the intersection's low
-        # corner falls in THIS cell (same clamp as the cover build)
+        # corner falls in the pair's own cell (same clamp as the cover)
         xlo = np.maximum(mnx[a], mnx[b])
         ylo = np.maximum(mny[a], mny[b])
         home = (cell_floor(xlo, WORLD_MIN_X, WORLD_W) * axis
                 + cell_floor(ylo, WORLD_MIN_Y, WORLD_H))
-        keep = home == cell
+        keep = home == cell[a]
         ia, ib = ids[a[keep]], ids[b[keep]]
         lo = np.minimum(ia, ib)
         hi = np.maximum(ia, ib)
@@ -1511,7 +1573,7 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
 
     exploded = small.map_batches(explode, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    out = exploded.groupby("cell").map_groups(
+    out = exploded.groupby("gkey").map_groups(
         pairs_of_group, batch_format="pyarrow")
     for br in branches:
         out = out.union(br)
