@@ -1155,10 +1155,16 @@ def _q_dbscan(sf_dir: str):
 
     from .sources import tables
     from .stages.dedup import connected_components
-    from .stages.partitioned import within_distance_pairs
+    from .stages.partitioned import _gkey_of, within_distance_pairs
 
     pairs = within_distance_pairs(
         tables.docs_geo(sf_dir), radius=CLUSTER_EPS).materialize()
+    # the three degree/label attaches below group on HASHED doc keys:
+    # one group per doc id fired the attach once per doc (a 10^12-call
+    # interpreter loop at corpus scale); hashed coarse groups + a
+    # vectorized searchsorted lookup keep the one-exchange shape
+    GK = num_partitions_for(tables.table_rows(sf_dir, "documents"),
+                            rows_per_partition=250_000)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -1174,18 +1180,26 @@ def _q_dbscan(sf_dir: str):
 
     # degree attach, pass 1 (key = id_a): deg rows carry other = -1
     def pairs_keyed_a(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch.column("id_a"),
+        k = batch.column("id_a").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(_gkey_of(k, GK)),
+                         "k": pa.array(k),
                          "other": batch.column("id_b"),
                          "deg": pa.array(np.full(len(batch), -1,
                                                  dtype=np.int64))})
 
     def deg_keyed(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch.column("doc_id"),
+        k = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(_gkey_of(k, GK)),
+                         "k": pa.array(k),
                          "other": pa.array(np.full(len(batch), -1,
                                                    dtype=np.int64)),
                          "deg": batch.column("deg")})
 
     def attach_a(batch: pa.Table) -> pa.Table:
+        """Multi-doc group: per-doc degree looked up vectorized (one
+        deg row per doc by construction; a pair whose doc has no deg
+        row in the group is dropped, exactly as the per-doc groups
+        did)."""
         other = batch.column("other").to_numpy(zero_copy_only=False)
         dg = batch.column("deg").to_numpy(zero_copy_only=False)
         k = batch.column("k").to_numpy(zero_copy_only=False)
@@ -1194,22 +1208,29 @@ def _q_dbscan(sf_dir: str):
                           "id_b": pa.array([], type=pa.int64()),
                           "deg_a": pa.array([], type=pa.int64())})
         if not is_deg.any() or is_deg.all():
-            return empty  # doc with degree row but no pair rows here
-        d = int(dg[is_deg][0])
+            return empty
+        kd = k[is_deg]
+        dv = dg[is_deg]
+        o = np.argsort(kd, kind="stable")
+        kd, dv = kd[o], dv[o]
         pr = ~is_deg
-        n = int(pr.sum())
-        return pa.table({"id_a": pa.array(k[pr]),
-                         "id_b": pa.array(other[pr]),
-                         "deg_a": pa.array(np.full(n, d, dtype=np.int64))})
+        kp = k[pr]
+        pos = np.minimum(np.searchsorted(kd, kp), len(kd) - 1)
+        ok = kd[pos] == kp
+        return pa.table({"id_a": pa.array(kp[ok]),
+                         "id_b": pa.array(other[pr][ok]),
+                         "deg_a": pa.array(dv[pos[ok]])})
 
     pa_pass = (pairs.map_batches(pairs_keyed_a, batch_format="pyarrow",
                                  zero_copy_batch=True)
                .union(deg.map_batches(deg_keyed, batch_format="pyarrow"))
-               .groupby("k").map_groups(attach_a, batch_format="pyarrow"))
+               .groupby("g").map_groups(attach_a, batch_format="pyarrow"))
 
     # degree attach, pass 2 (key = id_b); deg rows carry deg_a = -1
     def pairs_keyed_b(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch.column("id_b"),
+        k = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(_gkey_of(k, GK)),
+                         "k": pa.array(k),
                          "other": batch.column("id_a"),
                          "deg_a": batch.column("deg_a"),
                          "deg": pa.array(np.full(len(batch), -1,
@@ -1217,7 +1238,9 @@ def _q_dbscan(sf_dir: str):
 
     def deg_keyed2(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        return pa.table({"k": batch.column("doc_id"),
+        k = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(_gkey_of(k, GK)),
+                         "k": pa.array(k),
                          "other": pa.array(np.full(n, -1, dtype=np.int64)),
                          "deg_a": pa.array(np.full(n, -1, dtype=np.int64)),
                          "deg": batch.column("deg")})
@@ -1234,18 +1257,23 @@ def _q_dbscan(sf_dir: str):
                           "deg_b": pa.array([], type=pa.int64())})
         if not is_deg.any() or is_deg.all():
             return empty
-        d = int(dg[is_deg][0])
+        kd = k[is_deg]
+        dv = dg[is_deg]
+        o = np.argsort(kd, kind="stable")
+        kd, dv = kd[o], dv[o]
         pr = ~is_deg
-        n = int(pr.sum())
-        return pa.table({"id_a": pa.array(other[pr]),
-                         "id_b": pa.array(k[pr]),
-                         "deg_a": pa.array(da[pr]),
-                         "deg_b": pa.array(np.full(n, d, dtype=np.int64))})
+        kp = k[pr]
+        pos = np.minimum(np.searchsorted(kd, kp), len(kd) - 1)
+        ok = kd[pos] == kp
+        return pa.table({"id_a": pa.array(other[pr][ok]),
+                         "id_b": pa.array(kp[ok]),
+                         "deg_a": pa.array(da[pr][ok]),
+                         "deg_b": pa.array(dv[pos[ok]])})
 
     p2 = (pa_pass.map_batches(pairs_keyed_b, batch_format="pyarrow",
                               zero_copy_batch=True)
           .union(deg.map_batches(deg_keyed2, batch_format="pyarrow"))
-          .groupby("k").map_groups(attach_b,
+          .groupby("g").map_groups(attach_b,
                                    batch_format="pyarrow")).materialize()
 
     def core_core(batch: pa.Table) -> pa.Table:
@@ -1288,8 +1316,10 @@ def _q_dbscan(sf_dir: str):
     # border edges.
     def comp_as_union(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        cid = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "core_id": batch.column("doc_id"),
+            "g": pa.array(_gkey_of(cid, GK)),
+            "core_id": pa.array(cid),
             "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),  # sentinel
             "component": batch.column("component"),
         })
@@ -1297,32 +1327,42 @@ def _q_dbscan(sf_dir: str):
     def border_as_union(batch: pa.Table) -> pa.Table:
         t = border_core(batch)
         n = len(t)
+        cid = t.column("core_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "core_id": t.column("core_id"),
+            "g": pa.array(_gkey_of(cid, GK)),
+            "core_id": pa.array(cid),
             "doc_id": t.column("doc_id"),
             "component": pa.array(np.full(n, -1, dtype=np.int64)),
         })
 
     def attach(batch: pa.Table) -> pa.Table:
+        """Multi-core group: per-core component label looked up
+        vectorized (one label row per core id)."""
         did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cid = batch.column("core_id").to_numpy(zero_copy_only=False)
         cmp_ = batch.column("component").to_numpy(zero_copy_only=False)
         lab_rows = did < 0
         empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
                           "component": pa.array([], type=pa.int64())})
         if not lab_rows.any() or lab_rows.all():
             return empty
-        lab = int(cmp_[lab_rows][0])
-        borders = did[~lab_rows]
-        return pa.table({"doc_id": pa.array(borders),
-                         "component": pa.array(
-                             np.full(len(borders), lab, dtype=np.int64))})
+        kl = cid[lab_rows]
+        lv = cmp_[lab_rows]
+        o = np.argsort(kl, kind="stable")
+        kl, lv = kl[o], lv[o]
+        br = ~lab_rows
+        kb = cid[br]
+        pos = np.minimum(np.searchsorted(kl, kb), len(kl) - 1)
+        ok = kl[pos] == kb
+        return pa.table({"doc_id": pa.array(did[br][ok]),
+                         "component": pa.array(lv[pos[ok]])})
 
     border_lab = (comp.map_batches(comp_as_union, batch_format="pyarrow")
                   .union(p2.map_batches(border_as_union,
                                         batch_format="pyarrow",
                                         zero_copy_batch=True))
-                  .groupby("core_id").map_groups(attach,
-                                                 batch_format="pyarrow")
+                  .groupby("g").map_groups(attach,
+                                           batch_format="pyarrow")
                   .groupby("doc_id")
                   .aggregate(Min("component", alias_name="cluster")))
 
