@@ -419,6 +419,68 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     return out
 
 
+def _dominance_prune_cover(z, res: int, kk: int, num_partitions: int):
+    """ID-dominance prune of FULL-COVER zone rows, per cell (exact).
+
+    A zone whose box covers a cell's entire doc-preimage scores
+    d2 == 0 for EVERY doc in the cell, so under the (d2, smallest-id)
+    tie-break only the ``kk`` smallest-id such zones can ever reach a
+    top-k there — the rest of the cell's full-cover rows are dead
+    exchange weight (the per-cell-list analog lives in
+    grid_index._ensure_cell_bounds; the fixture carries ~31 containing
+    zones per doc, so this collapses most of the zero-distance tie
+    bulk before it is ever shuffled to the doc side).  PARTIAL-cover
+    rows are never touched — their distance depends on the query
+    point.  Conservative full-cover test: the cell preimage is
+    widened by one 16-bit fine-grid cell against float boundary
+    rounding, and grid-EDGE cells (whose preimage is unbounded — the
+    grid clip absorbs out-of-range coords) are never classified full.
+    Runs BEFORE salting so dominance applies to the raw cell; salting
+    then replicates the surviving rows only.  One cheap zone-side
+    exchange (cover rows are the small side)."""
+    from ..config import WORLD_H, WORLD_MIN_X, WORLD_MIN_Y, WORLD_W
+
+    axis = 1 << res
+    cw = WORLD_W / axis
+    ch = WORLD_H / axis
+    mx_ = WORLD_W / 65536.0
+    my_ = WORLD_H / 65536.0
+
+    def add_gk(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("zgk", pa.array(_gkey_of(cell, num_partitions)))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        zid = batch.column("zone_id").to_numpy(zero_copy_only=False)
+        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
+        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
+        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
+        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
+        cx = cell >> res
+        cy = cell & (axis - 1)
+        x0 = WORLD_MIN_X + cx * cw
+        y0 = WORLD_MIN_Y + cy * ch
+        interior = (cx > 0) & (cx < axis - 1) & (cy > 0) & (cy < axis - 1)
+        full = (interior & (mnx <= x0 - mx_) & (mxx >= x0 + cw + mx_)
+                & (mny <= y0 - my_) & (mxy >= y0 + ch + my_))
+        keep = ~full
+        fi = np.nonzero(full)[0]
+        if len(fi):
+            order = np.lexsort((zid[fi], cell[fi]))
+            fc = cell[fi][order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], fc[1:] != fc[:-1])))
+            counts = np.diff(np.append(starts, len(fc)))
+            rank = np.arange(len(fc), dtype=np.int64) - np.repeat(starts, counts)
+            keep[fi[order][rank < kk]] = True
+        return batch.filter(pa.array(keep)).drop_columns(["zgk"])
+
+    return z.map_batches(add_gk, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("zgk").map_groups(prune,
+                                                     batch_format="pyarrow")
+
+
 def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                          res: int = DEFAULT_CELL_RES, pad_rings: int = 1,
                          num_partitions: int | None = None,
@@ -494,14 +556,15 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
     zones_small = zones.map_batches(drop_big, batch_format="pyarrow", zero_copy_batch=True)
 
-    d = _doc_cells(docs, res)
-    z = _zone_cover(zones_small, res, pad_rings=pad_rings)
-    if hot_threshold is not None:
-        d, z = _apply_salting(d, z, hot_threshold, keyspace=1 << (2 * res))
-
     min_cell = min(WORLD_W, WORLD_H) / (1 << res)
     bound = (pad_rings * min_cell) ** 2
     kk_total = min(k, len(zones_broadcast_payload["ids"]))
+
+    d = _doc_cells(docs, res)
+    z = _zone_cover(zones_small, res, pad_rings=pad_rings)
+    z = _dominance_prune_cover(z, res, kk_total, num_partitions)
+    if hot_threshold is not None:
+        d, z = _apply_salting(d, z, hot_threshold, keyspace=1 << (2 * res))
     key = carry[0]  # the vectorized merge keys on the first carry column
 
     def _emit(n_done, rdoc_keep, rzone_keep, rd2_keep, rnk_keep,
