@@ -302,6 +302,65 @@ def test_knn_join_engines_equivalent(ray_session):
             assert list(got["d2"]) == list(exp["d2"]), (engine, hot)
 
 
+def test_knn_shuffle_dominance_prune_vs_brute_force(ray_session):
+    """Adversarial layer for the full-cover ID-dominance prune: a
+    world-spanning zone, cell-sized interior zones stacked on one spot
+    (zero-distance ties beyond k), boxes straddling cell borders
+    (partial covers — must never be pruned), and docs in grid-EDGE
+    cells (whose preimage is unbounded — never classified full).  The
+    shuffle result must equal the brute-force top-k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from locus_ray.kernels import box_point_squared_distance
+    from locus_ray.stages import partitioned
+
+    res, k = 4, 3  # coarse grid -> multi-cell zones with few rows
+    # zones: 1 world-spanner, 8 identical stacked interior boxes
+    # (ids 1..8 — dominance must keep ids 1..k), 3 border-straddlers
+    # the 8 stacked boxes FULLY cover cells (7..8, 7..8) at res 4
+    # (cell = 22.5 x 11.25 deg), so docs there see 8 zero-distance
+    # ties and dominance must keep exactly ids 1..k
+    zb = [(-180.0, 180.0, -90.0, 90.0)] + [(-25.0, 25.0, -15.0, 15.0)] * 8 \
+        + [(-11.0, 9.0, -11.0, 9.0), (50.0, 71.0, -40.0, -19.0),
+           (-179.0, -150.0, 60.0, 89.0)]
+    zdf = pd.DataFrame({
+        "zone_id": np.arange(len(zb), dtype=np.int64),
+        "min_x": [b[0] for b in zb], "max_x": [b[1] for b in zb],
+        "min_y": [b[2] for b in zb], "max_y": [b[3] for b in zb]})
+    rng = np.random.default_rng(7)
+    n = 400
+    x = np.concatenate([rng.uniform(-179, 179, n - 4),
+                        [-179.9, 179.9, 0.0, 20.0]])  # edge cells + stack
+    y = np.concatenate([rng.uniform(-89, 89, n - 4),
+                        [-89.9, 89.9, 0.0, 20.0]])
+    ddf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "x": x, "y": y})
+    payload = {"ids": zdf.zone_id.to_numpy(), "min_x": zdf.min_x.to_numpy(),
+               "max_x": zdf.max_x.to_numpy(), "min_y": zdf.min_y.to_numpy(),
+               "max_y": zdf.max_y.to_numpy()}
+
+    d2m = box_point_squared_distance(
+        payload["min_x"][None, :], payload["max_x"][None, :],
+        payload["min_y"][None, :], payload["max_y"][None, :],
+        x[:, None], y[:, None])
+    rows = []
+    for i in range(n):
+        order = sorted(range(len(zb)), key=lambda j: (d2m[i, j], j))[:k]
+        rows += [(i, j, d2m[i, j], r + 1) for r, j in enumerate(order)]
+    exp = pd.DataFrame(rows, columns=["doc_id", "zone_id", "d2", "rnk"])
+
+    for hot in (None, 50):
+        got = partitioned.knn_join_partitioned(
+            rd.from_pandas(ddf), rd.from_pandas(zdf), payload, k=k, res=res,
+            num_partitions=4, hot_threshold=hot,
+        ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+        assert list(got["doc_id"]) == list(exp["doc_id"]), hot
+        assert list(got["zone_id"]) == list(exp["zone_id"]), hot
+        assert np.allclose(got["d2"], exp["d2"]), hot
+
+
 def test_resumable_flagship(ray_session, tmp_path):
     import numpy as np
 
