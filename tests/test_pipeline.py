@@ -302,6 +302,36 @@ def test_knn_join_engines_equivalent(ray_session):
             assert list(got["d2"]) == list(exp["d2"]), (engine, hot)
 
 
+def test_contain_join_string_carry_falls_back_to_join(ray_session):
+    """A non-integer carry column cannot ride the grouped exchange's
+    unified int gid column — the engine must auto-fall-back to the
+    hash-join path and still produce the broadcast oracle's pairs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from locus_ray.sources import tables
+    from locus_ray.stages import partitioned, spatial
+
+    def add_s(t: pa.Table) -> pa.Table:
+        return t.append_column("skey", pc.cast(t.column("doc_id"),
+                                               pa.string()))
+
+    docs = tables.docs_geo(SF).map_batches(add_s, batch_format="pyarrow")
+    got = partitioned.contain_join_partitioned(
+        docs, tables.zones_ds(SF), res=8, num_partitions=4,
+        carry=("skey",),
+    ).to_pandas()
+    ref = ray.put(tables.zones_payload(SF))
+    exp = tables.docs_geo(SF).map_batches(
+        spatial.ContainJoinActor, batch_format="pyarrow",
+        fn_constructor_kwargs={"zones_ref": ref, "res": 8},
+        concurrency=1,
+    ).to_pandas()
+    assert set(zip(got["skey"].astype(int), got["zone_id"])) == \
+        set(zip(exp["doc_id"], exp["zone_id"]))
+
+
 def test_knn_shuffle_dominance_prune_vs_brute_force(ray_session):
     """Adversarial layer for the full-cover ID-dominance prune: a
     world-spanning zone, cell-sized interior zones stacked on one spot
