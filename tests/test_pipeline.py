@@ -495,6 +495,50 @@ def test_ngram_jaccard_verifies_pairs(ray_session):
     assert j02 == 0.0
 
 
+def test_ngram_jaccard_matches_reference_sets(ray_session):
+    """The distributed two-exchange verify (VERDICT r4 #1) must equal
+    driver-side set arithmetic over the same shingle kernel, on a
+    planted corpus with near-dup clusters, fully-disjoint pairs, ids
+    absent from the corpus (zero-shingle sides), a self-pair, and
+    DUPLICATE candidate rows (which must not skew the size counts)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+    from locus_ray.stages.text import flat_token_hashes
+
+    rng = np.random.default_rng(11)
+    words = np.array(["w%d" % i for i in range(30)])
+    texts = [" ".join(rng.choice(words, int(rng.integers(1, 25))))
+             for _ in range(60)]
+    for i in range(10):  # planted near-dups: shared long prefix
+        texts[i + 30] = texts[i] + " zz%d" % i
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(60, dtype=np.int64),
+                                 "text": texts}))
+    cand = pd.DataFrame({
+        "doc_a": list(range(10)) + [12, 13, 14, 999, 20],
+        "doc_b": list(range(30, 40)) + [45, 13, 47, 1000, 20]})
+    cand = pd.concat([cand, cand.iloc[:3]])  # duplicate candidates
+
+    got = dedup.ngram_jaccard_pairs(ds, cand).to_pandas()
+    got = got.set_index(["doc_a", "doc_b"])["jaccard"]
+
+    th, lo = flat_token_hashes(pa.chunked_array([pa.array(texts)]))
+    sh, so = dedup._shingle_hashes_flat(th, lo, 3)
+    sets = {i: set(sh[so[i]:so[i + 1]].astype(np.int64).tolist())
+            for i in range(60)}
+    expect = {
+        (a, b): len(sets.get(a, set()) & sets.get(b, set()))
+        / max(1, len(sets.get(a, set()) | sets.get(b, set())))
+        for a, b in set(zip(cand["doc_a"], cand["doc_b"]))
+    }
+    assert len(got) == len(expect)
+    for pair_key, v in expect.items():
+        assert got[pair_key] == v, pair_key
+    assert got[(13, 13)] == 1.0 and got[(999, 1000)] == 0.0
+
+
 def test_io_lance_gating(ray_session, tmp_path):
     from locus_ray.sources import io
 

@@ -5,8 +5,16 @@ and assert the DRIVER's resident set stays flat — the signature table
 concatenated on the driver or broadcast whole.
 
 Usage: python tools/rss_smoke.py [n_docs] [num_cpus]
+       python tools/rss_smoke.py --ngram [n_pairs] [num_cpus]
 Prints one JSON line {"n_docs", "pairs", "rss_before_mb",
 "rss_after_mb", "rss_growth_mb", "flat"}.
+
+``--ngram`` (VERDICT r4 #3 done criterion): runs the distributed
+``ngram_jaccard_pairs`` verify at two candidate volumes and asserts
+the driver retains only the candidate ID arrays — no shingle data.
+The pre-fix path held a dict of Python shingle SETS (~5-10 KB per
+candidate doc); the bound here is 1 KB/pair, well under that and well
+above the ids-only footprint (~16 B/pair + allocator slack).
 """
 
 from __future__ import annotations
@@ -24,6 +32,77 @@ def rss_mb() -> float:
             if line.startswith("VmRSS:"):
                 return int(line.split()[1]) / 1024.0
     return -1.0
+
+
+def main_ngram() -> None:
+    args = [a for a in sys.argv[1:] if a != "--ngram"]
+    n_pairs = int(args[0]) if args else 20_000
+    ncpus = int(args[1]) if len(args) > 1 else 16
+
+    import gc
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from locus_ray.stages.dedup import ngram_jaccard_pairs
+
+    n_docs = 2 * n_pairs + 1
+
+    def corpus():
+        WORDS = np.array(["alpha", "bravo", "carbon", "delta", "ember",
+                          "falcon", "granite", "harbor", "iris", "jolt"])
+
+        def gen(batch):
+            import pyarrow as pa
+            ids = batch.column("id").to_numpy()
+            # ~40-token docs, deterministic, near-dup with id+1
+            idx = (ids[:, None] * 37 + np.arange(40)[None, :] * 11) % len(WORDS)
+            texts = np.array([" ".join(WORDS[r]) for r in idx], dtype=object)
+            return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                             "text": pa.array(texts.astype(str))})
+
+        return rd.range(n_docs, override_num_blocks=max(8, n_docs // 50_000)
+                        ).map_batches(gen, batch_format="pyarrow")
+
+    def cands(m):
+        a = np.arange(m, dtype=np.int64) * 2
+        return pd.DataFrame({"doc_a": a, "doc_b": a + 1})
+
+    n_small = max(500, n_pairs // 4)
+    rows_small = ngram_jaccard_pairs(corpus(), cands(n_small)).count()
+    gc.collect()
+    rss_1 = rss_mb()
+    ngram_jaccard_pairs(corpus(), cands(n_small)).count()
+    gc.collect()
+    rss_2 = rss_mb()
+    rows = ngram_jaccard_pairs(corpus(), cands(n_pairs)).count()
+    gc.collect()
+    rss_3 = rss_mb()
+    retained = rss_2 - rss_1
+    growth = rss_3 - rss_2
+    growth_bound_mb = (n_pairs - n_small) * 1024 / (1024 * 1024)
+    flat = retained < 48.0 and growth < growth_bound_mb
+    print(json.dumps({
+        "mode": "ngram", "n_pairs": n_pairs, "n_small": n_small,
+        "rows": int(rows), "rows_small": int(rows_small),
+        "rss_small_run1_mb": round(rss_1, 1),
+        "rss_small_run2_mb": round(rss_2, 1),
+        "retained_same_size_mb": round(retained, 1),
+        "rss_after_large_mb": round(rss_3, 1),
+        "rss_growth_mb": round(growth, 1),
+        "growth_bound_mb": round(growth_bound_mb, 1), "flat": bool(flat),
+    }))
+    ray.shutdown()
+    if not flat:
+        sys.exit(1)
 
 
 def main() -> None:
@@ -119,4 +198,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ngram" in sys.argv:
+        main_ngram()
+    else:
+        main()
