@@ -295,6 +295,23 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
     tput_lo = 3 * N_DOCS / r_lo["value"]
     tput_hi = 3 * N_DOCS / r_hi["value"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+
+    # per-stage efficiency, split into the compute-dense subset (the
+    # number this bandwidth-shared box can actually express — the
+    # streaming control peaks at 16 procs, see BASELINE.md ceiling
+    # table) and the exchange/bandwidth-bound remainder
+    COMPUTE_DENSE = ("ann_cosine_1m", "snap_to_segment", "knn_zones",
+                     "knn_docs_self_4m", "pip_docs")
+    stage_eff = {k: round((q_lo[k] / q_hi[k]) / (hi / lo), 3)
+                 for k in q_lo if k in q_hi and q_hi[k] > 0}
+
+    def _agg_eff(keys):
+        t_lo = sum(q_lo[k] for k in keys)
+        t_hi = sum(q_hi[k] for k in keys)
+        return round((t_lo / t_hi) / (hi / lo), 3) if t_hi > 0 else None
+
+    dense = [k for k in COMPUTE_DENSE if k in q_lo and k in q_hi]
+    bandwidth = [k for k in q_lo if k in q_hi and k not in COMPUTE_DENSE]
     return {
         "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes, same input)",
         "sec_8": r_lo["value"],
@@ -302,6 +319,11 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
         "docs_per_sec_8": round(tput_lo, 1),
         "docs_per_sec_32": round(tput_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "stage_efficiency": stage_eff,
+        "compute_dense_stages": dense,
+        "compute_dense_efficiency": _agg_eff(dense),
+        "bandwidth_bound_stages": bandwidth,
+        "bandwidth_bound_efficiency": _agg_eff(bandwidth),
         "queries_8": q_lo,
         "queries_32": q_hi,
         "reps_per_level": reps,

@@ -391,6 +391,77 @@ def test_knn_shuffle_dominance_prune_vs_brute_force(ray_session):
         assert np.allclose(got["d2"], exp["d2"]), hot
 
 
+def test_knn_shuffle_dominance_prune_hostile_hot_cells(ray_session):
+    """VERDICT r4 #6: a HOSTILE fixture for the full-cover prune —
+    a dense hot doc cluster whose cells are fully covered by MANY
+    stacked zones with INTERLEAVED partial covers crossing the same
+    cells, salting active.  The shuffle result must equal brute force
+    under the (d2, smallest-id) tie-break, and the prune must actually
+    collapse the full-cover bulk (op-count receipt asserted)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from locus_ray.kernels import box_point_squared_distance
+    from locus_ray.stages import partitioned
+
+    res, k = 5, 3  # cell = 11.25 x 5.625 deg
+    rng = np.random.default_rng(3)
+    # hot cluster: 3000 docs inside ONE interior cell; 2000 background
+    n_hot, n_bg = 3000, 2000
+    x = np.concatenate([rng.uniform(1.0, 10.0, n_hot),
+                        rng.uniform(-179, 179, n_bg)])
+    y = np.concatenate([rng.uniform(0.5, 5.0, n_hot),
+                        rng.uniform(-89, 89, n_bg)])
+    n = n_hot + n_bg
+    # 24 stacked FULL covers of the hot cell + ring (ids 0..23 —
+    # dominance must keep only the k smallest ids per cell), 24
+    # partial covers with edges INSIDE the hot cell (never pruned),
+    # 12 background zones elsewhere
+    zb = [(-60.0, 60.0, -40.0, 40.0)] * 24
+    for i in range(24):
+        zb.append((1.0 + 0.3 * i, 40.0 + i, 1.0 + 0.15 * i, 30.0 + i))
+    for i in range(12):
+        zb.append((-170.0 + 25.0 * i, -160.0 + 25.0 * i,
+                   -80.0 + 12.0 * i, -70.0 + 12.0 * i))
+    zdf = pd.DataFrame({
+        "zone_id": np.arange(len(zb), dtype=np.int64),
+        "min_x": [b[0] for b in zb], "max_x": [b[1] for b in zb],
+        "min_y": [b[2] for b in zb], "max_y": [b[3] for b in zb]})
+    ddf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "x": x, "y": y})
+    payload = {"ids": zdf.zone_id.to_numpy(), "min_x": zdf.min_x.to_numpy(),
+               "max_x": zdf.max_x.to_numpy(), "min_y": zdf.min_y.to_numpy(),
+               "max_y": zdf.max_y.to_numpy()}
+
+    # op-count receipt: the prune must collapse the stacked full-cover
+    # bulk (24 identical covers -> k survivors per fully-covered cell)
+    cover = partitioned._zone_cover(rd.from_pandas(zdf), res, pad_rings=1)
+    before = cover.count()
+    after = partitioned._dominance_prune_cover(cover, res, k, 8).count()
+    assert after < 0.7 * before, (before, after)
+
+    d2m = box_point_squared_distance(
+        payload["min_x"][None, :], payload["max_x"][None, :],
+        payload["min_y"][None, :], payload["max_y"][None, :],
+        x[:, None], y[:, None])
+    order = np.lexsort((np.broadcast_to(
+        np.arange(len(zb)), d2m.shape), d2m), axis=1)[:, :k]
+    exp_zone = order.ravel()
+    exp_d2 = np.take_along_axis(d2m, order, axis=1).ravel()
+
+    # hot_threshold=256 -> the 3000-doc cell salts (fan ~12)
+    got = partitioned.knn_join_partitioned(
+        rd.from_pandas(ddf), rd.from_pandas(zdf), payload, k=k, res=res,
+        num_partitions=8, hot_threshold=256,
+    ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    assert len(got) == n * k
+    assert (got["doc_id"].to_numpy()
+            == np.repeat(np.arange(n, dtype=np.int64), k)).all()
+    assert (got["zone_id"].to_numpy() == exp_zone).all()
+    assert np.allclose(got["d2"].to_numpy(), exp_d2)
+
+
 def test_resumable_flagship(ray_session, tmp_path):
     import numpy as np
 
