@@ -190,6 +190,20 @@ def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64,
     )
 
 
+#: Gkey groups per shuffle partition.  Group count trades per-call
+#: ``map_groups`` overhead (ruinous at one-group-per-cell: ~4**res
+#: calls) against LOAD BALANCE: ``groupby`` range-partitions by gkey,
+#: so a single gkey group can never split across tasks, and with only
+#: ``num_partitions`` groups a hot doc cluster's cells hash together
+#: into one straggler task (round-5 profile: max group_fn task 9.0 s
+#: vs 0.68 s mean at 2M docs / 32 groups — 525k-row max block vs 21k
+#: mean).  8x partitions keeps calls amortized (~hundreds, not 65k)
+#: while bounding a group near the hottest single cell (cells are
+#: never split; salting handles cell-level heat).  Measured: 2M docs
+#: x 20k zones kNN @32 CPUs best 31.8 s (fan 1) -> 19.3 s (fan 8).
+GROUP_FAN = 8
+
+
 def _gkey_of(cell: np.ndarray, n_groups: int) -> np.ndarray:
     """Deterministic (salted) cell -> coarse int32 group key.
 
@@ -215,6 +229,12 @@ def _csr_pairs(cell: np.ndarray, di: np.ndarray, zi: np.ndarray):
     Returns ``(di, zi, pd, pz)`` with ``zi`` re-sorted by cell; pair
     ``p`` joins probe row ``di[pd[p]]`` with build row ``zi[pz[p]]``
     sharing its cell."""
+    if not len(di):
+        # probe-less group (finer gkey fans make zone-only groups
+        # routine at small scale): np.concatenate(([0], ...)) below
+        # would yield a 1-long ``starts`` against a 0-long ``cnt``
+        e = np.empty(0, dtype=np.int64)
+        return di, zi, e, e
     zcell = cell[zi]
     zo = np.argsort(zcell, kind="stable")
     zi = zi[zo]
@@ -345,7 +365,7 @@ def contain_join_partitioned(docs, zones, res: int = DEFAULT_CELL_RES,
     if engine == "group" and len(carry) == 1 and _int_carry(docs, carry[0]):
         key = carry[0]
 
-        n_groups = num_partitions
+        n_groups = num_partitions * GROUP_FAN  # load-balance, see GROUP_FAN
 
         def docs_shared(batch: pa.Table) -> pa.Table:
             x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -734,7 +754,7 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
                      u_doc[redo_mask], ux[redo_mask], uy[redo_mask])
 
     if engine == "group" and len(carry) == 1 and _int_carry(docs, key):
-        n_groups = num_partitions
+        n_groups = num_partitions * GROUP_FAN  # load-balance, see GROUP_FAN
 
         def docs_shared(batch: pa.Table) -> pa.Table:
             x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -953,7 +973,7 @@ def within_distance_pairs(ds, radius: float, id_col: str = "doc_id",
         # metadata-only for the fresh reads every call site passes
         num_partitions = num_partitions_for(ds.count(),
                                             rows_per_partition=100_000)
-    n_groups = num_partitions
+    n_groups = num_partitions * GROUP_FAN  # load-balance, see GROUP_FAN
 
     def explode(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).to_numpy(zero_copy_only=False)
@@ -1061,6 +1081,11 @@ def _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res: int):
     cover at ``res`` — the shared candidate-generation step of the
     pair-join family (box_overlap_pairs' scheme, factored)."""
     axis, fx, fy = _cell_floor_fns(res)
+    if not len(ids):
+        # empty block (filtered upstreams emit them): the ([0], …)
+        # starts below would be 1-long against 0-long counts
+        e = np.empty(0, dtype=np.int64)
+        return e, e
     cx_lo, cx_hi = fx(mnx), fx(mxx)
     cy_lo, cy_hi = fy(mny), fy(mxy)
     nx = cx_hi - cx_lo + 1
@@ -1171,8 +1196,9 @@ def segment_intersection_pairs(ds, res: int = 6, id_col: str = "segment_id",
     # but rows_per_partition already budgets for O(10)-cell covers.
     # A derived (non-fresh-read) input should pass num_partitions to
     # avoid the count() executing its lineage once extra (ADVICE r4 #2)
-    n_groups = (num_partitions if num_partitions is not None else
-                num_partitions_for(tagged.count(), rows_per_partition=100_000))
+    n_groups = GROUP_FAN * (  # load-balance, see GROUP_FAN
+        num_partitions if num_partitions is not None else
+        num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1318,8 +1344,9 @@ def box_segment_overlap_join(zones, segments, res: int = 6,
     from ..config import num_partitions_for
 
     # derived inputs should pass num_partitions (ADVICE r4 #2)
-    n_groups = (num_partitions if num_partitions is not None else
-                num_partitions_for(tagged.count(), rows_per_partition=100_000))
+    n_groups = GROUP_FAN * (  # load-balance, see GROUP_FAN
+        num_partitions if num_partitions is not None else
+        num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode_zones(batch: pa.Table) -> pa.Table:
         ids = batch.column(zone_id).to_numpy(zero_copy_only=False)
@@ -1418,8 +1445,9 @@ def point_segment_within_join(docs, segments, radius: float, res: int = 6,
     r2 = radius * radius
     # metadata-only for fresh reads; derived inputs should pass
     # num_partitions to avoid re-executing lineage (ADVICE r4 #2)
-    n_groups = (num_partitions if num_partitions is not None else
-                num_partitions_for(docs.count(), rows_per_partition=100_000))
+    n_groups = GROUP_FAN * (  # load-balance, see GROUP_FAN
+        num_partitions if num_partitions is not None else
+        num_partitions_for(docs.count(), rows_per_partition=100_000))
 
     def explode_docs(batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -1590,8 +1618,9 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
     from ..config import num_partitions_for
 
     # derived inputs should pass num_partitions (ADVICE r4 #2)
-    n_groups = (num_partitions if num_partitions is not None else
-                num_partitions_for(tagged.count(), rows_per_partition=100_000))
+    n_groups = GROUP_FAN * (  # load-balance, see GROUP_FAN
+        num_partitions if num_partitions is not None else
+        num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1608,7 +1637,10 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
         counts = nx * ny
         total = int(counts.sum())
         rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        if len(ids):
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        else:  # empty block: ([0], …) would be 1-long vs 0-long counts
+            starts = np.empty(0, dtype=np.int64)
         local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
         ny_r = np.repeat(ny, counts)
         gx = np.repeat(cx_lo, counts) + local // ny_r

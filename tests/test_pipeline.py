@@ -391,6 +391,30 @@ def test_knn_shuffle_dominance_prune_vs_brute_force(ray_session):
         assert np.allclose(got["d2"], exp["d2"]), hot
 
 
+def test_csr_pairs_empty_sides():
+    """Round-5 regression: a gkey group with ZERO probe rows (routine
+    once GROUP_FAN makes groups finer than the build side's cover at
+    small scale) crashed _csr_pairs — np.concatenate(([0], ...)) built
+    a 1-long starts against a 0-long cnt.  Both empty sides must
+    return empty pairings, and a mixed group must pair within cell."""
+    import numpy as np
+
+    from locus_ray.stages.partitioned import _csr_pairs
+
+    cell = np.array([5, 5, 7, 9], dtype=np.int64)
+    e = np.empty(0, dtype=np.int64)
+    # zone-only group (no probes)
+    di, zi, pd_, pz = _csr_pairs(cell, e, np.arange(4, dtype=np.int64))
+    assert len(di) == len(pd_) == len(pz) == 0
+    # probe-only group (no build rows)
+    di, zi, pd_, pz = _csr_pairs(cell, np.arange(4, dtype=np.int64), e)
+    assert len(pd_) == len(pz) == 0
+    # mixed: probes rows 0,2 vs build rows 1,3 -> only cell 5 pairs
+    di, zi, pd_, pz = _csr_pairs(cell, np.array([0, 2], dtype=np.int64),
+                                 np.array([1, 3], dtype=np.int64))
+    assert list(di[pd_]) == [0] and list(zi[pz]) == [1]
+
+
 def test_knn_shuffle_dominance_prune_hostile_hot_cells(ray_session):
     """VERDICT r4 #6: a HOSTILE fixture for the full-cover prune —
     a dense hot doc cluster whose cells are fully covered by MANY
