@@ -913,6 +913,19 @@ def knn_join_partitioned(docs, zones, zones_broadcast_payload, k: int,
 
     redo = merged.map_batches(_decode_redo, batch_format="pyarrow")
 
+    # The marker stream is ~0.1% of docs scattered over every merged
+    # block, and the actor-pool stage below schedules a task per block
+    # REGARDLESS of emptiness — the round-5 profile showed 214 tasks /
+    # ~9 s of pure empty-block ceremony re-probing ZERO rows.  merged
+    # is already materialized, so counting the markers is one cheap
+    # vectorized pass over its lineage: skip the stage outright when
+    # nothing needs re-probing, else compact the stragglers into a few
+    # dense blocks first.
+    n_redo = redo.count()
+    if n_redo == 0:
+        return done
+    redo = redo.repartition(max(1, -(-n_redo // 8192)))
+
     # exact ring-expansion re-probe of the remainder STAYS distributed:
     # a KnnJoinActor stage over the redo Dataset (fixes the round-1
     # driver-side GridKnn probe, VERDICT.md "What's wrong" #2)
