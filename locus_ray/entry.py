@@ -801,6 +801,22 @@ def _q_minhash_pairs(sf_dir: str):
                                                      columns=["doc_id", "text"]))
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard verification of the LSH candidate pairs —
+    the full near-dup funnel (shingle -> minhash -> LSH buckets ->
+    exact set verify) as one gate.  The verify stage is the
+    distributed two-exchange path (stages/dedup.ngram_jaccard_pairs);
+    fresh reads on both legs so neither Dataset lineage re-executes."""
+    from .sources import tables
+    from .stages import dedup
+
+    cand = dedup.minhash_lsh_pairs(tables.read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]))
+    return dedup.ngram_jaccard_pairs(
+        tables.read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        cand)
+
+
 def _ann_queries(sf_dir: str) -> dict[str, np.ndarray]:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
@@ -2456,9 +2472,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rollups, events windows, media stubs, shuffle twins, TPC-H
     # breadth) are promoted into the window; 18 representatives stay
     # (one per engine path plus every round-4 first-time promotion so
-    # each keeps a fresh driver row).  The 32 demoted gates carry
-    # driver-green rows from rounds 1-4; ALL 82 still run in
-    # tools/check_correctness.py at both sf0.001 and sf0.01.
+    # each keeps a fresh driver row; the new ngram_jaccard gate takes
+    # tile_assign's slot — tile_assign is green since round 1 and its
+    # engine path is covered by the in-window tile rollups).  The 33
+    # demoted gates carry driver-green rows from rounds 1-4; ALL 83
+    # still run in tools/check_correctness.py at both scales.
     return {
         # --- driver window (first 50): round-5 promotions ----------
         "tile_pyramid": _q_tile_pyramid,
@@ -2494,13 +2512,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": _q_priority_revenue,
         "tile_index_stats": _q_tile_index_stats,
         # --- driver window: retained engine-path representatives ---
-        "tile_assign": _q_tile_assign,
         "knn_zones": _q_knn_zones,
         "pip_docs": _q_pip_docs,
         "flagship_spans": _q_flagship_spans,
         "dedup_exact": _q_dedup_exact,
         "simhash_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "ann_cosine": _q_ann_cosine,
         "dbscan": _q_dbscan,
         "embed_dup_components": _q_embed_dup_components,
@@ -2514,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_dist_pairs": _q_within_dist_pairs,
         # ------- end of the driver's 50-entry window -------
         # driver-green rows on file from rounds 1-4:
+        "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
         "hilbert_rank": _q_hilbert_rank,
         "zone_contains_doc": _q_zone_contains_doc,
@@ -2857,6 +2876,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracles.simhash_dup_pairs_sql(max_hamming=3),
         "fingerprint_docs": oracles.fingerprint_sql(window=8),
         "minhash_pairs": oracles.minhash_pairs_sql(_dedup_mod()._MH_A,
+                                                   _dedup_mod()._MH_B),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(_dedup_mod()._MH_A,
                                                    _dedup_mod()._MH_B),
         "ann_lsh": oracles.ann_lsh_sql(workload.ANN_QUERY_IDS, workload.ANN_K),
         "ann_ivf": oracles.ann_ivf_sql(workload.ANN_QUERY_IDS, workload.ANN_K),

@@ -407,14 +407,14 @@ def simhash_dup_pairs_sql(max_hamming: int = 3) -> str:
     """
 
 
-def minhash_pairs_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
-                      bands: int = 16, shingle_k: int = 3,
-                      threshold: float = 0.5) -> str:
-    """Full SQL replication of the LSH star-linking pipeline: token FNV
-    -> k-shingle fold -> 64 permutation mins -> band hashes -> bucket
-    representative (MIN doc_id) -> distinct (rep, member) pairs ->
-    exact signature-equality fraction >= threshold.  Mirrors
-    stages/dedup.minhash_lsh_pairs including every mod-2^64 wrap."""
+def _minhash_ctes(a: np.ndarray, b: np.ndarray, num_perm: int,
+                  bands: int, shingle_k: int) -> str:
+    """Shared CTE chain of the LSH star-linking pipeline: token FNV ->
+    k-shingle fold (``shing``) -> permutation mins -> band hashes ->
+    bucket representative (MIN doc_id) -> distinct (rep, member)
+    ``pairs`` -> exact signature-equality fraction ``est``.  Mirrors
+    stages/dedup.minhash_lsh_pairs including every mod-2^64 wrap;
+    consumed by minhash_pairs_sql and ngram_jaccard_sql."""
     assert shingle_k == 3, "SQL shingle chain generated for k=3"
     P, M = _FNV_PRIME, _M64
     m61 = (1 << 61) - 1
@@ -463,8 +463,49 @@ def minhash_pairs_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
             FROM pairs p
             JOIN sigs sa ON sa.doc_id = p.doc_a
             JOIN sigs sb ON sb.doc_id = p.doc_b)
+    """
+
+
+def minhash_pairs_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5) -> str:
+    """LSH near-dup pairs: the shared CTE chain filtered at the
+    signature-estimate threshold (stages/dedup.minhash_lsh_pairs)."""
+    return f"""
+    {_minhash_ctes(a, b, num_perm, bands, shingle_k)}
     SELECT doc_a, doc_b, est_jaccard FROM est
     WHERE est_jaccard >= {derive.F(threshold)}
+    """
+
+
+def ngram_jaccard_sql(a: np.ndarray, b: np.ndarray, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5) -> str:
+    """Exact n-gram Jaccard over the LSH candidate pairs — the SQL twin
+    of stages/dedup.ngram_jaccard_pairs fed by minhash_lsh_pairs.
+
+    Set semantics on the SAME fold-hashed shingles the minhash chain
+    derives (``shing``; HUGEINT in [0, 2^64) vs the engine's int64
+    view — a bijection, so DISTINCT/equality agree).  The division is
+    one IEEE op on integer-exact operands, matching numpy's
+    ``inter / np.maximum(1, na + nb - inter)`` bit for bit."""
+    return f"""
+    {_minhash_ctes(a, b, num_perm, bands, shingle_k)},
+    cand AS (SELECT doc_a, doc_b FROM est
+             WHERE est_jaccard >= {derive.F(threshold)}),
+    uniq AS (SELECT DISTINCT doc_id, sh FROM shing),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM uniq GROUP BY doc_id),
+    ix AS (SELECT c.doc_a, c.doc_b, COUNT(ub.sh) AS i
+           FROM cand c
+           LEFT JOIN uniq ua ON ua.doc_id = c.doc_a
+           LEFT JOIN uniq ub ON ub.doc_id = c.doc_b AND ub.sh = ua.sh
+           GROUP BY c.doc_a, c.doc_b)
+    SELECT x.doc_a, x.doc_b,
+           CAST(x.i AS DOUBLE)
+             / CAST(greatest(1, sa.n + sb.n - x.i) AS DOUBLE) AS jaccard
+    FROM ix x
+    JOIN sz sa ON sa.doc_id = x.doc_a
+    JOIN sz sb ON sb.doc_id = x.doc_b
     """
 
 
