@@ -102,8 +102,10 @@ def detect_hot_cells(docs_with_cells, threshold: int,
         # deterministic while removing the row-0 bias.
         off = 0
         if stride > 1 and len(col):
-            off = int((np.uint64(col[0]) * np.uint64(0x9E3779B97F4A7C15)
-                       ^ np.uint64(len(col))) % np.uint64(stride))
+            # Python ints: numpy uint64 scalar multiply raises a
+            # RuntimeWarning on (intended) wraparound, once per block
+            h = (int(col[0]) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            off = (h ^ len(col)) % stride
         cid, cnt = np.unique(col[off::stride], return_counts=True)
         return pa.table({"cell_id": pa.array(cid), "n": pa.array(cnt * stride)})
 
