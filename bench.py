@@ -149,11 +149,19 @@ def run_bench(sf_dir: str, ncpus: int) -> dict:
     ).count(), reps=2)
 
     # q5b: shuffle-based kNN join (grouped cell exchange + ring-bound
-    # re-probe) — same capped slice rationale as q5
+    # re-probe) — same capped slice rationale as q5.  hot_threshold
+    # 25k (was 200k): the 20% cluster concentrates ~50k docs per cell
+    # and groupby cannot split a cell across gkey groups, so the
+    # unsalted hot cells piled a 4.9s group_fn straggler (167k-row
+    # block) onto the critical path; salting at 25k splits their docs
+    # across sub-keys — max task 4.9 -> 0.26s, group CPU 31 -> 12s,
+    # stage 18.9-23.5 -> 13.5-14.4s @32 in alternating A/B (neutral
+    # @8).  The contain rung stays at 200k: its group_fn max task was
+    # already ~1s (no pad-ring fan-out) and the A/B read as a wash.
     timed("knn_zones_shuffle", lambda: partitioned.knn_join_partitioned(
         docs().limit(shuffle_docs), tables.zones_ds(sf_dir), zones_payload,
         k=3, res=8, num_partitions=max(16, ncpus),
-        hot_threshold=200_000, carry=("doc_key",),
+        hot_threshold=25_000, carry=("doc_key",),
         prebuilt_ref=zones_knn_ref,
     ).count(), reps=2)
 

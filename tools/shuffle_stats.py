@@ -34,21 +34,27 @@ def main(n_docs: int, ncpus: int, stage: str = "contain") -> None:
 
     corpus = ensure_corpus(n_docs)
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    hot = int(os.environ.get("HOT_THRESHOLD", "200000"))
     docs = rd.read_parquet(corpus, columns=["doc_key", "x", "y"])
     zones = tables.zones_ds(sf_dir)
+    if stage == "knn":
+        # prebuild UNTIMED like bench does — the broadcast GridKnn is
+        # built once for the life of the corpus
+        from locus_ray.stages import spatial
+
+        payload = tables.zones_payload(sf_dir)
+        t_b = time.time()
+        ref = ray.put(spatial.prebuilt_knn_index(payload, "box", 8))
+        print(f"[driver] prebuild+put: {time.time() - t_b:.2f}s (untimed)")
     t0 = time.time()
     if stage == "contain":
         out = partitioned.contain_join_partitioned(
             docs, zones, res=8, num_partitions=max(16, ncpus),
-            hot_threshold=200_000, carry=("doc_key",))
+            hot_threshold=hot, carry=("doc_key",))
     elif stage == "knn":
-        from locus_ray.stages import spatial
-
-        payload = tables.zones_payload(sf_dir)
-        ref = ray.put(spatial.prebuilt_knn_index(payload, "box", 8))
         out = partitioned.knn_join_partitioned(
             docs, zones, payload, k=3, res=8,
-            num_partitions=max(16, ncpus), hot_threshold=200_000,
+            num_partitions=max(16, ncpus), hot_threshold=hot,
             carry=("doc_key",), prebuilt_ref=ref)
     else:
         raise SystemExit(f"unknown stage {stage!r} (contain | knn)")
