@@ -714,7 +714,11 @@ def ngram_jaccard_pairs(ds, candidate_pairs, text_col: str = "text", k: int = 3,
         side = batch.column("side").to_numpy(zero_copy_only=False)
         sh = batch.column("sh").to_numpy(zero_copy_only=False)
         real = batch.column("real").to_numpy(zero_copy_only=False)
-        o = np.lexsort((sh, bb, aa))
+        # ``real`` is a sort key too: the membership sentinels ride the
+        # IN-BAND shingle value 0, so a genuine shingle hash of exactly
+        # 0 could otherwise interleave with a sentinel inside the equal
+        # (a, b, sh) run and break the adjacent-real intersection count
+        o = np.lexsort((real, sh, bb, aa))
         aa, bb, side, sh, real = aa[o], bb[o], side[o], sh[o], real[o]
         newp = np.concatenate(
             ([True], (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])))

@@ -37,7 +37,10 @@ def _flat_spans(batch: pa.Table):
     flat = spans.flatten()
     parent = np.repeat(np.arange(len(batch), dtype=np.int64), n_spans)
     total = int(n_spans.sum())
-    starts = np.concatenate(([0], np.cumsum(n_spans)[:-1]))
+    # empty batch (filtered upstreams emit them): ([0], cumsum[:-1])
+    # would be 1-long against 0-long n_spans and np.repeat raises
+    starts = np.zeros(len(n_spans), dtype=np.int64)
+    np.cumsum(n_spans[:-1], out=starts[1:])
     span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)
     return parent, span_idx, flat
 
@@ -173,7 +176,10 @@ class MediaTransformActor:
         f_cnt = -(-n_frames // self.stride)  # ceil
         rep = np.repeat(np.arange(len(keep), dtype=np.int64), f_cnt)
         total = int(f_cnt.sum())
-        starts = np.concatenate(([0], np.cumsum(f_cnt)[:-1]))
+        # zero audio/table spans in the batch (e.g. image-only docs):
+        # the ([0], cumsum[:-1]) idiom would be 1-long vs 0-long f_cnt
+        starts = np.zeros(len(f_cnt), dtype=np.int64)
+        np.cumsum(f_cnt[:-1], out=starts[1:])
         within = np.arange(total, dtype=np.int64) - np.repeat(starts, f_cnt)
         return pa.table({
             "doc_id": doc_id.take(pa.array(rep)).cast(pa.string()),

@@ -1638,29 +1638,10 @@ def box_overlap_pairs(ds, res: int = 6, id_col: str = "zone_id",
         num_partitions_for(tagged.count(), rows_per_partition=100_000))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mnx = batch.column("min_x").to_numpy(zero_copy_only=False)
-        mxx = batch.column("max_x").to_numpy(zero_copy_only=False)
-        mny = batch.column("min_y").to_numpy(zero_copy_only=False)
-        mxy = batch.column("max_y").to_numpy(zero_copy_only=False)
-        cx_lo = cell_floor(mnx, WORLD_MIN_X, WORLD_W)
-        cx_hi = cell_floor(mxx, WORLD_MIN_X, WORLD_W)
-        cy_lo = cell_floor(mny, WORLD_MIN_Y, WORLD_H)
-        cy_hi = cell_floor(mxy, WORLD_MIN_Y, WORLD_H)
-        nx = cx_hi - cx_lo + 1
-        ny = cy_hi - cy_lo + 1
-        counts = nx * ny
-        total = int(counts.sum())
-        rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        if len(ids):
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        else:  # empty block: ([0], …) would be 1-long vs 0-long counts
-            starts = np.empty(0, dtype=np.int64)
-        local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-        ny_r = np.repeat(ny, counts)
-        gx = np.repeat(cx_lo, counts) + local // ny_r
-        gy = np.repeat(cy_lo, counts) + local % ny_r
-        cell = gx * axis + gy
+        # shared cover-explode (same clip-floor as the local
+        # cell_floor) — keeping one copy means one place to patch
+        ids, mnx, mxx, mny, mxy = _cols(batch)
+        cell, rep = _bbox_cover_explode(ids, mnx, mxx, mny, mxy, res)
         return pa.table({
             "gkey": pa.array(_gkey_of(cell, n_groups)),
             "cell": pa.array(cell),

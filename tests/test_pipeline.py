@@ -203,6 +203,36 @@ def test_media_features_stub(ray_session):
     assert len({tuple(f) for f in one["feature"]}) == 1
 
 
+def test_media_actors_empty_and_one_sided_batches():
+    """Empty blocks (filtered upstreams emit them) and batches with
+    zero spans of the wanted kind must not crash the vectorized
+    fan-out (the ([0], cumsum[:-1]) idiom is 1-long vs 0-long counts
+    — the same bug _csr_pairs/_bbox_cover_explode guard)."""
+    import pyarrow as pa
+
+    from locus_ray.stages.multimodal import (MediaFeatureActor,
+                                             MediaTransformActor)
+
+    span_t = pa.list_(pa.struct([
+        ("kind", pa.string()), ("media_ref", pa.string()),
+        ("start", pa.int32()), ("length", pa.int32())]))
+    img = {"kind": "image", "media_ref": "m1", "start": 0, "length": 1}
+    txt = {"kind": "text", "media_ref": None, "start": 0, "length": 5}
+    full = pa.table({"doc_id": pa.array(["a", "b"], type=pa.string()),
+                     "spans": pa.array([[img, txt], [txt]], type=span_t)})
+    empty = full.slice(0, 0)
+
+    for actor in (MediaFeatureActor(dim=4),
+                  MediaTransformActor(op="resize"),
+                  MediaTransformActor(op="frame_sample")):
+        assert actor(empty).num_rows == 0
+    # image-only corpus: frame_sample wants audio/table spans -> none
+    assert MediaTransformActor(op="frame_sample")(full).num_rows == 0
+    # and text-only docs produce no media features
+    assert MediaFeatureActor(dim=4)(
+        full.slice(1, 1)).num_rows == 0
+
+
 def test_media_features_real_raises():
     from locus_ray.stages.multimodal import MediaFeatureActor
 
