@@ -285,8 +285,14 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = probe()
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            # surface the child's stderr — check=True swallowed it
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench child (RAY_GRAFT_CPUS={ncpu}) "
+                               f"exited {proc.returncode}")
+        out = proc.stdout
         r = json.loads(out.strip().splitlines()[-1])
         r["box_probe_ops"] = p
         return r

@@ -75,6 +75,60 @@ def _next_main_ring(r: int) -> int:
     return r + 1 if r < 4 else 2 * r
 
 
+def _merge_topk(active, q_row, cand_ids, d2, best_id, best_d, n_found,
+                k: int) -> None:
+    """Fold new ``(q_row, cand_ids, d2)`` candidates into the running
+    per-row top-k (``best_id``/``best_d``/``n_found``, mutated in place
+    at the ``active`` rows): concat with the current winners, lexsort
+    by (row, d2, id) — ties by smallest id, SURVEY.md §2.6 — drop
+    adjacent duplicate (row, id) entries, keep rank < k, scatter back.
+    Shared by GridKnn.query and SegSegGridKnn.query (one copy so a
+    tie-break or bound fix can never drift between the kinds)."""
+    cur_rows = np.repeat(np.arange(len(active), dtype=np.int64),
+                         n_found[active])
+    cur_mask = best_id[active] >= 0
+    all_rows = np.concatenate((cur_rows, q_row))
+    all_ids = np.concatenate((best_id[active][cur_mask], cand_ids))
+    all_d = np.concatenate((best_d[active][cur_mask], d2))
+    order = np.lexsort((all_ids, all_d, all_rows))
+    all_rows = all_rows[order]
+    all_ids = all_ids[order]
+    all_d = all_d[order]
+    if len(all_rows) > 1:
+        keep = np.ones(len(all_rows), dtype=bool)
+        keep[1:] = ~((all_rows[1:] == all_rows[:-1])
+                     & (all_ids[1:] == all_ids[:-1]))
+        all_rows, all_ids, all_d = all_rows[keep], all_ids[keep], all_d[keep]
+    row_start = np.searchsorted(all_rows, np.arange(len(active)))
+    rank = np.arange(len(all_rows)) - row_start[all_rows]
+    sel = rank < k
+    kr = all_rows[sel]
+    kcol = rank[sel]
+    bi = np.full((len(active), k), -1, dtype=np.int64)
+    bd = np.full((len(active), k), np.inf)
+    bi[kr, kcol] = all_ids[sel]
+    bd[kr, kcol] = all_d[sel]
+    best_id[active] = bi
+    best_d[active] = bd
+    n_found[active] = np.bincount(kr, minlength=len(active))
+
+
+def _require_nondegenerate_segments(g: dict[str, np.ndarray]) -> None:
+    """Segment build sides must have distinct endpoints (the reference
+    contract — locus segments are constructed from two distinct points,
+    reference locus/segmental.py; and kernels.segment_point_squared_
+    distance's ``t = ·/len2`` yields 0/0 = NaN on a zero-length
+    segment, which would silently poison the top-k merge ordering and
+    the ring-retirement bound instead of failing loudly)."""
+    dx = g["end_x"] - g["start_x"]
+    dy = g["end_y"] - g["start_y"]
+    bad = (dx == 0.0) & (dy == 0.0)
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} degenerate (zero-length) segment(s) in the "
+            "build side; segments require distinct endpoints")
+
+
 def _bbox_of(kind: str, g: dict[str, np.ndarray]):
     if kind == "point":
         return g["x"], g["x"], g["y"], g["y"]
@@ -226,6 +280,8 @@ class GridKnn:
         self.cell_w = WORLD_W / self.n_cells_axis
         self.cell_h = WORLD_H / self.n_cells_axis
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
+        if kind == "segment":
+            _require_nondegenerate_segments(self.g)
 
         mnx, mxx, mny, mxy = _bbox_of(kind, self.g)
         rows = np.arange(n, dtype=np.int64)
@@ -378,7 +434,12 @@ class GridKnn:
         """
         if getattr(self, "_bounds_k", 0) >= k:
             return self._have_bounds
-        if self.kind == "segment" or not self.ctx.uses_euclidean_bounds:
+        if (len(self.ids) == 0 or self.kind == "segment"
+                or not self.ctx.uses_euclidean_bounds):
+            # empty build sides take the no-bounds path too: there is
+            # no kth distance to ceiling (np.partition on a 0-wide
+            # axis raised), and the ring loop already terminates on
+            # empty buckets returning the padded (-1, inf) contract
             # the cheap per-segment upper bound (endpoint distance) is
             # too loose to pay for itself; segments skip the ceiling
             self._bounds_k = 1 << 30
@@ -803,33 +864,8 @@ class GridKnn:
                         d2 = d2[within]
                 stats["merge_rows"] += len(pos)
                 cand_ids = self.ids[pos]
-                cur_rows = np.repeat(np.arange(len(active), dtype=np.int64), n_found[active])
-                cur_mask = best_id[active] >= 0
-                all_rows = np.concatenate((cur_rows, q_row))
-                all_ids = np.concatenate((best_id[active][cur_mask], cand_ids))
-                all_d = np.concatenate((best_d[active][cur_mask], d2))
-                order = np.lexsort((all_ids, all_d, all_rows))
-                all_rows = all_rows[order]
-                all_ids = all_ids[order]
-                all_d = all_d[order]
-                if len(all_rows) > 1:
-                    keep = np.ones(len(all_rows), dtype=bool)
-                    keep[1:] = ~((all_rows[1:] == all_rows[:-1]) & (all_ids[1:] == all_ids[:-1]))
-                    all_rows = all_rows[keep]
-                    all_ids = all_ids[keep]
-                    all_d = all_d[keep]
-                row_start = np.searchsorted(all_rows, np.arange(len(active)))
-                rank = np.arange(len(all_rows)) - row_start[all_rows]
-                sel = rank < k
-                kr = all_rows[sel]
-                kcol = rank[sel]
-                bi = np.full((len(active), k), -1, dtype=np.int64)
-                bd = np.full((len(active), k), np.inf)
-                bi[kr, kcol] = all_ids[sel]
-                bd[kr, kcol] = all_d[sel]
-                best_id[active] = bi
-                best_d[active] = bd
-                n_found[active] = np.bincount(kr, minlength=len(active))
+                _merge_topk(active, q_row, cand_ids, d2,
+                            best_id, best_d, n_found, k)
 
             if r_new >= axis:
                 break  # bucket grid fully swept (and hot dumped above)
@@ -906,6 +942,7 @@ class SegSegGridKnn:
         self.cell_w = WORLD_W / self.axis
         self.cell_h = WORLD_H / self.axis
         self.g = {k: np.asarray(v, dtype=np.float64) for k, v in geoms.items()}
+        _require_nondegenerate_segments(self.g)
         mnx, mxx, mny, mxy = _bbox_of("segment", self.g)
         rows = np.arange(n, dtype=np.int64)
         nx = np.floor((mxx - WORLD_MIN_X) / WORLD_W * self.axis) - np.floor(
@@ -1004,33 +1041,8 @@ class SegSegGridKnn:
             if len(pos):
                 aq = active[q_row]
                 d2 = self._score(pos, qsx[aq], qsy[aq], qex[aq], qey[aq])
-                cur_rows = np.repeat(np.arange(len(active), dtype=np.int64),
-                                     n_found[active])
-                cur_mask = best_id[active] >= 0
-                all_rows = np.concatenate((cur_rows, q_row))
-                all_ids = np.concatenate((best_id[active][cur_mask], cand_ids))
-                all_d = np.concatenate((best_d[active][cur_mask], d2))
-                order = np.lexsort((all_ids, all_d, all_rows))
-                all_rows = all_rows[order]
-                all_ids = all_ids[order]
-                all_d = all_d[order]
-                if len(all_rows) > 1:
-                    keep = np.ones(len(all_rows), dtype=bool)
-                    keep[1:] = ~((all_rows[1:] == all_rows[:-1])
-                                 & (all_ids[1:] == all_ids[:-1]))
-                    all_rows, all_ids, all_d = all_rows[keep], all_ids[keep], all_d[keep]
-                row_start = np.searchsorted(all_rows, np.arange(len(active)))
-                rank = np.arange(len(all_rows)) - row_start[all_rows]
-                sel = rank < k
-                kr = all_rows[sel]
-                kcol = rank[sel]
-                bi = np.full((len(active), k), -1, dtype=np.int64)
-                bd = np.full((len(active), k), np.inf)
-                bi[kr, kcol] = all_ids[sel]
-                bd[kr, kcol] = all_d[sel]
-                best_id[active] = bi
-                best_d[active] = bd
-                n_found[active] = np.bincount(kr, minlength=len(active))
+                _merge_topk(active, q_row, cand_ids, d2,
+                            best_id, best_d, n_found, k)
 
             if r_new >= axis:
                 break

@@ -18,13 +18,20 @@ import ray
 from ..config import actor_pool
 
 
-def _as_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-copy flat)."""
+def _as_matrix(col, d: int | None = None) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flat).
+
+    ``d`` matters only for ZERO-ROW batches (filtered upstreams emit
+    them): the width cannot be inferred from an empty list column, and
+    the old ``len(flat) // len(col)`` raised ZeroDivisionError.  Pass
+    the broadcast side's width so downstream matmuls see a conformable
+    ``(0, d)``."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    d = len(flat) // len(col)
-    return flat.reshape(len(col), d)
+    if len(col) == 0:
+        return flat.reshape(0, d if d is not None else 0)
+    return flat.reshape(len(col), len(flat) // len(col))
 
 
 def _partial_topk_rows(sims: np.ndarray, ids: np.ndarray, qid: np.ndarray,
@@ -77,7 +84,7 @@ class CosineTopKActor:
         self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _as_matrix(batch.column(self.vec_col))
+        m = _as_matrix(batch.column(self.vec_col), d=self.qm.shape[1])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (m / norms) @ self.qm.T  # (n, q)
@@ -184,7 +191,7 @@ def ivf_topk(ds, queries: dict[str, np.ndarray],
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch.column(vec_col))
+            m = _as_matrix(batch.column(vec_col), d=self.qm.shape[1])
             eint = np.floor(m * IVF_SCALE + 0.5).astype(np.int64) + IVF_OFFSET
             d = ((eint[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d, axis=1)
@@ -244,7 +251,13 @@ def lsh_dup_pairs(ds, threshold: float = 0.4, n_tables: int = 4,
     from .dedup import _fixed_binary_to_rows, _rows_to_fixed_binary
 
     if dim is None:
-        dim = len(ds.take(1)[0][vec_col])  # limit-pushdown peek, one block
+        peek = ds.take(1)  # limit-pushdown peek, one block
+        if not peek:  # fully-filtered input: no pairs, and no width
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64())}))
+        dim = len(peek[0][vec_col])
     if num_partitions is None:
         from ..config import num_partitions_for
 
@@ -261,7 +274,7 @@ def lsh_dup_pairs(ds, threshold: float = 0.4, n_tables: int = 4,
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch.column(vec_col))
+            m = _as_matrix(batch.column(vec_col), d=self.planes.shape[0])
             bits = (m @ self.planes > 0).astype(np.int64)
             vid = batch.column(id_col).to_numpy()
             out_id, out_t, out_b = [], [], []
@@ -310,8 +323,10 @@ def lsh_dup_pairs(ds, threshold: float = 0.4, n_tables: int = 4,
     # same IEEE op sequence per row, independent of batching)
     def emb_bin(name):
         def f(batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch.column(vec_col))
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = _as_matrix(batch.column(vec_col), d=dim)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0  # same guard as every scorer path
+            mn = m / norms
             return pa.table({
                 name: batch.column(id_col),
                 f"emb_{name[-1]}": _rows_to_fixed_binary(mn),
@@ -374,14 +389,17 @@ def lsh_bucketed_topk(ds, queries: dict[str, np.ndarray], k: int,
             self.qm = p["matrix"] / np.linalg.norm(p["matrix"], axis=1, keepdims=True)
             self.planes = p["planes"]
             self.qbits = p["qbits"]
-            self.probe = set(int(x) for x in p["probe"])
+            # keep the shipped probe ids as a sorted ARRAY: rebuilding
+            # it from a Python set per batch was an O(|probe|)
+            # object round-trip in the hot loop
+            self.probe = np.unique(np.asarray(p["probe"], dtype=np.uint32))
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _as_matrix(batch.column(vec_col))
+            m = _as_matrix(batch.column(vec_col), d=self.planes.shape[0])
             bits = ((m @ self.planes > 0).astype(np.uint32)
                     << np.arange(self.planes.shape[1], dtype=np.uint32)).sum(axis=1)
-            mask = np.isin(bits, np.asarray(list(self.probe), dtype=bits.dtype))
+            mask = np.isin(bits, self.probe)
             if not mask.any():
                 return pa.table({"query_id": pa.array([], type=pa.int64()),
                                  id_col: pa.array([], type=pa.int64()),

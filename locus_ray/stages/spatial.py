@@ -368,6 +368,13 @@ class AttachPayloadActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bk = batch.column(self.key).to_numpy(zero_copy_only=False)
+        if len(self.sorted_keys) == 0:
+            # empty payload shard: every row is unmatched — drop them
+            # all (the clamp below would index sorted_keys[-1])
+            out = batch.slice(0, 0)
+            for c in self.columns:
+                out = out.append_column(c, self.payload.column(c).slice(0, 0))
+            return out
         loc = np.searchsorted(self.sorted_keys, bk)
         loc = np.minimum(loc, len(self.sorted_keys) - 1)
         ok = self.sorted_keys[loc] == bk
