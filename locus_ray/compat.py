@@ -255,13 +255,18 @@ class SegmentalTree:
         self._tree = SegmentTree(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
                                  max_children=max_children)
         self._grid = None
+        self._pt_grid = None
         if self._ctx.name != "default":
-            from .grid_index import SegSegGridKnn
+            from .grid_index import GridKnn, SegSegGridKnn
 
-            self._grid = SegSegGridKnn(
-                {"start_x": arr[:, 0], "start_y": arr[:, 1],
-                 "end_x": arr[:, 2], "end_y": arr[:, 3]},
-                np.arange(len(arr), dtype=np.int64), 8, context=self._ctx)
+            geoms = {"start_x": arr[:, 0], "start_y": arr[:, 1],
+                     "end_x": arr[:, 2], "end_y": arr[:, 3]}
+            ids = np.arange(len(arr), dtype=np.int64)
+            self._grid = SegSegGridKnn(geoms, ids, 8, context=self._ctx)
+            # the point-query family needs its own context-aware engine
+            # (SegSegGridKnn only answers segment queries)
+            self._pt_grid = GridKnn("segment", geoms, ids, 8,
+                                    context=self._ctx)
 
     def _seg_d2s(self, segment: Segment) -> list:
         (sx, sy), (ex, ey) = segment
@@ -278,6 +283,11 @@ class SegmentalTree:
         if self._exact:
             i = rational.top_n(self._seg_d2s(segment), 1)[0]
             return i, self.segments[i]
+        if self._grid is not None:
+            # non-default context: same route as n_nearest_items — the
+            # euclidean SegmentTree would return the L2 winner and
+            # contradict the k>1 family under the same index
+            return self.n_nearest_items(1, segment)[0]
         i, _ = self._tree.nearest_to_segment(
             segment[0][0], segment[0][1], segment[1][0], segment[1][1]
         )
@@ -315,6 +325,8 @@ class SegmentalTree:
         if self._exact:
             i = rational.top_n(self._pt_d2s(point), 1)[0]
             return i, self.segments[i]
+        if self._grid is not None:  # context-aware route (see nearest_item)
+            return self.n_nearest_to_point_items(1, point)[0]
         i, _ = self._tree.nearest_to_point(point[0], point[1])
         return i, self.segments[i]
 
@@ -328,6 +340,10 @@ class SegmentalTree:
         if self._exact:
             return [(i, self.segments[i])
                     for i in rational.top_n(self._pt_d2s(point), n)]
+        if self._pt_grid is not None:  # context-aware point route
+            ids, _ = self._pt_grid.query(
+                np.asarray([point[0]]), np.asarray([point[1]]), n)
+            return [(int(i), self.segments[int(i)]) for i in ids[0] if i >= 0]
         return [(i, self.segments[i])
                 for i, _ in self._tree.n_nearest_to_point(n, point[0], point[1])]
 

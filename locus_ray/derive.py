@@ -47,10 +47,18 @@ def F(v: float) -> str:
 
 
 def doc_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Geotag for each document id (80% uniform, 20% hot cluster)."""
+    """Geotag for each document id (80% uniform, 20% hot cluster).
+
+    MOD-FIRST multiply (mirrored in every SQL builder below): the raw
+    ``id * A`` form silently wraps numpy int64 for ids above ~3.5e9
+    (while DuckDB errors on BIGINT overflow) — reducing the id mod M
+    first is mathematically identical and keeps every intermediate
+    under M * A < 2**63 at any corpus scale.  The ``% 5`` hot test
+    stays on the RAW id (M1 is not a multiple of 5)."""
     d = np.asarray(doc_id, dtype=np.int64)
-    h1 = (d * _DOC_A1) % _M1
-    h2 = (d * _DOC_A2 + _DOC_B2) % _M1
+    dm = d % _M1
+    h1 = (dm * _DOC_A1) % _M1
+    h2 = (dm * _DOC_A2 + _DOC_B2) % _M1
     u1 = h1 / float(_M1)
     u2 = h2 / float(_M1)
     hot = (d % 5) == 0
@@ -63,10 +71,12 @@ def zone_box(zone_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, n
     """Zone box (min_x, max_x, min_y, max_y) for each zone id
     (derived from part.p_partkey)."""
     z = np.asarray(zone_id, dtype=np.int64)
-    h1 = (z * _ZONE_A1) % _M1
-    h2 = (z * _ZONE_A2 + _ZONE_B2) % _M1
-    h3 = (z * _ZONE_A3) % _ZONE_M3
-    h4 = (z * _ZONE_A4 + _ZONE_B4) % _ZONE_M3
+    zm = z % _M1  # mod-first, see doc_xy (``% 50`` stays on the raw id)
+    zm3 = z % _ZONE_M3
+    h1 = (zm * _ZONE_A1) % _M1
+    h2 = (zm * _ZONE_A2 + _ZONE_B2) % _M1
+    h3 = (zm3 * _ZONE_A3) % _ZONE_M3
+    h4 = (zm3 * _ZONE_A4 + _ZONE_B4) % _ZONE_M3
     cx = (h1 / float(_M1)) * 360.0 - 180.0
     cy = (h2 / float(_M1)) * 180.0 - 90.0
     hw = 0.05 + (h3 / float(_ZONE_M3)) * 5.0
@@ -81,10 +91,12 @@ def segment_coords(seg_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     """Segment (start_x, start_y, end_x, end_y) for each segment id
     (derived from customer.c_custkey)."""
     s = np.asarray(seg_id, dtype=np.int64)
-    h1 = (s * _SEG_A1) % _M1
-    h2 = (s * _SEG_A2 + _SEG_B2) % _M1
-    h3 = (s * _SEG_A3) % _SEG_M3
-    h4 = (s * _SEG_A4 + _SEG_B4) % _SEG_M3
+    sm = s % _M1  # mod-first, see doc_xy
+    sm3 = s % _SEG_M3
+    h1 = (sm * _SEG_A1) % _M1
+    h2 = (sm * _SEG_A2 + _SEG_B2) % _M1
+    h3 = (sm3 * _SEG_A3) % _SEG_M3
+    h4 = (sm3 * _SEG_A4 + _SEG_B4) % _SEG_M3
     sx = (h1 / float(_M1)) * 360.0 - 180.0
     sy = (h2 / float(_M1)) * 180.0 - 90.0
     ex = sx + ((h3 / float(_SEG_M3)) * 6.0 - 3.0) + 0.001
@@ -97,16 +109,18 @@ def segment_coords(seg_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
 # ---------------------------------------------------------------------------
 
 def sql_docs_geo() -> str:
-    """CTE body: documents with derived (x, y) — bit-identical to doc_xy."""
+    """CTE body: documents with derived (x, y) — bit-identical to
+    doc_xy (mod-first multiply on both sides; raw ``% 5`` hot test)."""
     m = F(_M1)
+    dm = f"(doc_id % {_M1})"
     return f"""
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0
-                THEN {F(HOT_X)} + ((((doc_id * {_DOC_A1}) % {_M1}) / {m}) * 4.0e0 - 2.0e0)
-                ELSE (((doc_id * {_DOC_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 END AS x,
+                THEN {F(HOT_X)} + (((({dm} * {_DOC_A1}) % {_M1}) / {m}) * 4.0e0 - 2.0e0)
+                ELSE ((({dm} * {_DOC_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 END AS x,
            CASE WHEN doc_id % 5 = 0
-                THEN {F(HOT_Y)} + ((((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 2.0e0 - 1.0e0)
-                ELSE (((doc_id * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 END AS y
+                THEN {F(HOT_Y)} + (((({dm} * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 2.0e0 - 1.0e0)
+                ELSE ((({dm} * {_DOC_A2} + {_DOC_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 END AS y
     FROM documents
     """
 
@@ -115,20 +129,22 @@ def sql_zones() -> str:
     """CTE body: zones with derived boxes — bit-identical to zone_box."""
     m = F(_M1)
     m3 = F(_ZONE_M3)
+    zm = f"(p_partkey % {_M1})"
+    zm3 = f"(p_partkey % {_ZONE_M3})"
     return f"""
     SELECT p_partkey AS zone_id,
            cx - hw AS min_x, cx + hw AS max_x,
            cy - hh AS min_y, cy + hh AS max_y
     FROM (
       SELECT p_partkey,
-             (((p_partkey * {_ZONE_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS cx,
-             (((p_partkey * {_ZONE_A2} + {_ZONE_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS cy,
+             ((({zm} * {_ZONE_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS cx,
+             ((({zm} * {_ZONE_A2} + {_ZONE_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS cy,
              CASE WHEN p_partkey % 50 = 0
-                  THEN (5.0e-2 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0) * 20.0e0
-                  ELSE 5.0e-2 + (((p_partkey * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0 END AS hw,
+                  THEN (5.0e-2 + ((({zm3} * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0) * 20.0e0
+                  ELSE 5.0e-2 + ((({zm3} * {_ZONE_A3}) % {_ZONE_M3}) / {m3}) * 5.0e0 END AS hw,
              CASE WHEN p_partkey % 50 = 0
-                  THEN (5.0e-2 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0) * 20.0e0
-                  ELSE 5.0e-2 + (((p_partkey * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0 END AS hh
+                  THEN (5.0e-2 + ((({zm3} * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0) * 20.0e0
+                  ELSE 5.0e-2 + ((({zm3} * {_ZONE_A4} + {_ZONE_B4}) % {_ZONE_M3}) / {m3}) * 2.5e0 END AS hh
       FROM part
     )
     """
@@ -139,15 +155,17 @@ def sql_segments() -> str:
     segment_coords."""
     m = F(_M1)
     ms = F(_SEG_M3)
+    sm = f"(c_custkey % {_M1})"
+    sm3 = f"(c_custkey % {_SEG_M3})"
     return f"""
     SELECT c_custkey AS segment_id,
            sx AS start_x, sy AS start_y,
-           (sx + ((((c_custkey * {_SEG_A3}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_x,
-           (sy + ((((c_custkey * {_SEG_A4} + {_SEG_B4}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_y
+           (sx + (((({sm3} * {_SEG_A3}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_x,
+           (sy + (((({sm3} * {_SEG_A4} + {_SEG_B4}) % {_SEG_M3}) / {ms}) * 6.0e0 - 3.0e0)) + 1.0e-3 AS end_y
     FROM (
       SELECT c_custkey,
-             (((c_custkey * {_SEG_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS sx,
-             (((c_custkey * {_SEG_A2} + {_SEG_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS sy
+             ((({sm} * {_SEG_A1}) % {_M1}) / {m}) * 360.0e0 - 180.0e0 AS sx,
+             ((({sm} * {_SEG_A2} + {_SEG_B2}) % {_M1}) / {m}) * 180.0e0 - 90.0e0 AS sy
       FROM customer
     )
     """

@@ -2416,11 +2416,17 @@ def _q_tile_chars_median(sf_dir: str):
         y = batch.column("y").to_numpy(zero_copy_only=False)
         cell = cell_of(x, y, TOP_LANG_RES)
         v = batch.column("n_chars").to_numpy(zero_copy_only=False)
-        key = cell * np.int64(1 << 20) + v
+        # 40-bit value lane: cell < 4**TOP_LANG_RES = 256, so the
+        # packed key stays < 2**48.  A 20-bit lane silently bled
+        # million-char documents into the NEXT cell's histogram; now
+        # absurd inputs fail loudly instead of mis-aggregating.
+        if len(v) and int(v.max()) >= 1 << 40:
+            raise ValueError("n_chars >= 2**40 cannot be packed")
+        key = cell * np.int64(1 << 40) + v
         uniq, cnt = np.unique(key, return_counts=True)
         return pa.table({
-            "cell_id": pa.array(uniq >> np.int64(20)),
-            "v": pa.array(uniq & np.int64((1 << 20) - 1)),
+            "cell_id": pa.array(uniq >> np.int64(40)),
+            "v": pa.array(uniq & np.int64((1 << 40) - 1)),
             "c": pa.array(cnt.astype(np.int64)),
         })
 

@@ -105,6 +105,10 @@ class KDTree:
         ``n >= size`` returns all points (fast path parity with
         locus/kd.py:216-220).
         """
+        if n <= 0:
+            # an empty bounded heap would raise on heap[0]; zero
+            # neighbors is a valid (empty) answer
+            return []
         if n >= self.size:
             d = (self.xs - qx) ** 2 + (self.ys - qy) ** 2
             order = np.lexsort((self.ids, d))

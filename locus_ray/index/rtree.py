@@ -164,7 +164,11 @@ class PackedRTree:
 
     def n_nearest(self, n: int, qx: float, qy: float) -> list[tuple[int, float]]:
         """n nearest (id, d2) ordered by (d2, id); n >= size returns all
-        (fast path parity with locus/r.py:406-410)."""
+        (fast path parity with locus/r.py:406-410); n <= 0 returns []
+        (the len(out) == n break fires only AFTER an append, so a zero
+        n used to drain the whole tree)."""
+        if n <= 0:
+            return []
         if n >= self.size:
             d = box_point_squared_distance(
                 self.bmin_x, self.bmax_x, self.bmin_y, self.bmax_y, qx, qy

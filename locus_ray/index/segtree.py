@@ -100,6 +100,8 @@ class SegmentTree:
         raise ValueError("empty segment tree")
 
     def n_nearest_to_point(self, n: int, qx: float, qy: float) -> list[tuple[int, float]]:
+        if n <= 0:  # see rtree.n_nearest
+            return []
         if n >= self.size:
             d = segment_point_squared_distance(self.sx, self.sy, self.ex, self.ey, qx, qy)
             order = np.lexsort((self.ids, d))
@@ -127,6 +129,8 @@ class SegmentTree:
         raise ValueError("empty segment tree")
 
     def n_nearest_to_segment(self, n: int, asx: float, asy: float, aex: float, aey: float) -> list[tuple[int, float]]:
+        if n <= 0:  # see rtree.n_nearest
+            return []
         if n >= self.size:
             d = segments_squared_distance(
                 self.sx, self.sy, self.ex, self.ey, asx, asy, aex, aey

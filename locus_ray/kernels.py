@@ -173,7 +173,22 @@ def box_segment_squared_distance(min_x, max_x, min_y, max_y, sx, sy, ex, ey) -> 
     )
     d = None
     for (e1x, e1y, e2x, e2y) in edges:
-        dd = segments_squared_distance(e1x, e1y, e2x, e2y, sx, sy, ex, ey)
+        # a DEGENERATE box (min == max on an axis) makes two edges
+        # zero-length, and P7's projection (t = ·/len2) would emit
+        # 0/0 = NaN that poisons the min — score those edges as the
+        # corner POINT against the query segment instead.  Boxes with
+        # positive extent take the exact original op sequence (the
+        # SQL mirrors rely on it; fixture boxes are never degenerate).
+        deg = np.asarray((e1x == e2x) & (e1y == e2y))
+        if deg.any():
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dd = segments_squared_distance(e1x, e1y, e2x, e2y,
+                                               sx, sy, ex, ey)
+            dd = np.where(
+                deg, segment_point_squared_distance(sx, sy, ex, ey, e1x, e1y),
+                dd)
+        else:
+            dd = segments_squared_distance(e1x, e1y, e2x, e2y, sx, sy, ex, ey)
         d = dd if d is None else np.minimum(d, dd)
     return np.where(inside, 0.0, d)
 

@@ -199,16 +199,26 @@ def corpus_clean_sql(profiles: dict[str, set[str]]) -> str:
 # flagship_spans — synthetic corpus kNN join, fully derived in SQL
 # ---------------------------------------------------------------------------
 
+def _doc_id_sql(expr: str) -> str:
+    """``'doc-' || <padded id>`` mirroring synth._pad10: zero-pad to 10
+    digits WITHOUT truncating longer ids (plain lpad(_, 10, _) chops an
+    11+-digit id to 10 chars, colliding doc_id strings at 1e10+ docs)."""
+    v = f"CAST({expr} AS VARCHAR)"
+    return (f"'doc-' || CASE WHEN length({v}) >= 10 THEN {v} "
+            f"ELSE lpad({v}, 10, '0') END")
+
+
 def flagship_spans_sql(n_docs: int, k: int) -> str:
     F = derive.F
     m = F(1000003)
-    # doc_xy on raw integer ids (derive.doc_xy, id domain 0..n-1)
+    # doc_xy on raw integer ids (derive.doc_xy, id domain 0..n-1;
+    # mod-first multiply — see derive.doc_xy)
     x = (f"CASE WHEN id % 5 = 0 "
-         f"THEN {F(derive.HOT_X)} + ((((id * 2654435761) % 1000003) / {m}) * 4.0e0 - 2.0e0) "
-         f"ELSE (((id * 2654435761) % 1000003) / {m}) * 360.0e0 - 180.0e0 END")
+         f"THEN {F(derive.HOT_X)} + (((((id % 1000003) * 2654435761) % 1000003) / {m}) * 4.0e0 - 2.0e0) "
+         f"ELSE ((((id % 1000003) * 2654435761) % 1000003) / {m}) * 360.0e0 - 180.0e0 END")
     y = (f"CASE WHEN id % 5 = 0 "
-         f"THEN {F(derive.HOT_Y)} + ((((id * 40503 + 12345) % 1000003) / {m}) * 2.0e0 - 1.0e0) "
-         f"ELSE (((id * 40503 + 12345) % 1000003) / {m}) * 180.0e0 - 90.0e0 END")
+         f"THEN {F(derive.HOT_Y)} + (((((id % 1000003) * 40503 + 12345) % 1000003) / {m}) * 2.0e0 - 1.0e0) "
+         f"ELSE ((((id % 1000003) * 40503 + 12345) % 1000003) / {m}) * 180.0e0 - 90.0e0 END")
     ix, iy = _sql_grid_expr("x", "y")
     box_d2 = (
         "GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0) * GREATEST(z.min_x - d.x, d.x - z.max_x, 0.0)"
@@ -225,7 +235,7 @@ def flagship_spans_sql(n_docs: int, k: int) -> str:
                FROM d CROSS JOIN z),
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, zone_id) AS rnk
                FROM scored)
-    SELECT 'doc-' || lpad(CAST(id AS VARCHAR), 10, '0') AS doc_id,
+    SELECT {_doc_id_sql('id')} AS doc_id,
            cell_id, zone_id, rnk, d2, d2 = 0.0e0 AS in_zone
     FROM ranked WHERE rnk <= {k}
     """
@@ -243,7 +253,7 @@ def _span_cte(n_docs: int) -> str:
     return f"""
     ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS id),
     s AS (SELECT id,
-                 unnest(generate_series(0, CAST((id * 2654435761) % 8 AS INT))) AS local
+                 unnest(generate_series(0, CAST(((id % 8) * 2654435761) % 8 AS INT))) AS local
           FROM ids),
     sp AS (SELECT id, local, (id * 7 + local * 3) % 4 AS kc,
                   CASE WHEN (id * 7 + local * 3) % 4 = 0 THEN
@@ -699,7 +709,7 @@ def _synth_spans_cte(n_docs: int) -> str:
     span of the deterministic corpus (mirrors sources/synth.spans_for)."""
     return f"""
     ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS parent),
-    ns AS (SELECT parent, 1 + (parent * 2654435761) % 8 AS n_spans FROM ids),
+    ns AS (SELECT parent, 1 + ((parent % 8) * 2654435761) % 8 AS n_spans FROM ids),
     sp AS (SELECT parent, n_spans, unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS lcl
            FROM ns),
     spans AS (
@@ -729,7 +739,7 @@ def media_resize_sql(n_docs: int, width: int = 224, height: int = 224) -> str:
     only; payload_hash = first 8 digest bytes = first 16 hex chars."""
     return f"""
     WITH {_synth_spans_cte(n_docs)}
-    SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+    SELECT {_doc_id_sql('parent')} AS doc_id,
            lcl AS span_idx, media_ref,
            CAST({width} AS BIGINT) AS width, CAST({height} AS BIGINT) AS height,
            substr(sha256(media_ref), 1, 16) AS payload_hash
@@ -743,7 +753,7 @@ def media_frames_sql(n_docs: int, stride: int = 10) -> str:
     byte0 = _hex_byte("sha256(media_ref)", 0)
     return f"""
     WITH {_synth_spans_cte(n_docs)},
-    m AS (SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+    m AS (SELECT {_doc_id_sql('parent')} AS doc_id,
                  lcl AS span_idx, media_ref,
                  1 + {byte0} % 64 AS n_frames
           FROM spans WHERE kind IN ('audio', 'table'))
@@ -771,7 +781,7 @@ def media_features_sql(n_docs: int, dim: int = 16) -> str:
     return f"""
     WITH {_synth_spans_cte(n_docs)},
     media AS (
-      SELECT 'doc-' || lpad(CAST(parent AS VARCHAR), 10, '0') AS doc_id,
+      SELECT {_doc_id_sql('parent')} AS doc_id,
              lcl AS span_idx, kind, media_ref, sha256(media_ref) AS hx
       FROM spans WHERE kind_code <> 0
     )

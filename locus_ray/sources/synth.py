@@ -28,12 +28,25 @@ _VOCAB = np.array(
 )
 
 
+def _pad10(ids: np.ndarray) -> np.ndarray:
+    """Zero-pad int64 ids to >= 10 digits without truncation (see the
+    doc_id note in make_docs_batch)."""
+    s = ids.astype("U20")
+    return np.where(np.char.str_len(s) >= 10, s, np.char.zfill(s, 10))
+
+
 def spans_for(ids: np.ndarray) -> pa.ListArray:
     """Vectorized spans column for int64 doc ids (1-8 spans each)."""
     ids = np.asarray(ids, dtype=np.int64)
-    n_spans = 1 + (ids * 2654435761 % 8)
+    # mod-first (mirrored in oracles.sql span CTEs): the raw id * A
+    # form wraps int64 above ~3.5e9 ids while DuckDB errors; reducing
+    # the id mod 8 first is value-identical at every scale
+    n_spans = 1 + (ids % 8) * 2654435761 % 8
     parent = np.repeat(ids, n_spans)
-    starts = np.concatenate(([0], np.cumsum(n_spans)[:-1]))
+    # zeros+cumsum keeps the empty-ids block safe (([0], cumsum[:-1])
+    # is 1-long against 0-long n_spans)
+    starts = np.zeros(len(n_spans), dtype=np.int64)
+    np.cumsum(n_spans[:-1], out=starts[1:])
     local = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(starts, n_spans)
 
     kind_code = (parent * 7 + local * 3) % 4
@@ -62,7 +75,13 @@ def make_docs_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("id").to_numpy()
     x, y = derive.doc_xy(ids)
     return pa.table({
-        "doc_id": pa.array(np.char.add("doc-", np.char.zfill(ids.astype("U12"), 10))),
+        # pad to 10 digits WITHOUT truncating longer ids: both
+        # np.char.zfill(_, 10) (dtype U10!) and DuckDB's lpad(_,10,_)
+        # silently truncate an 11+-digit id to its first 10 chars —
+        # consistently on both sides, but colliding doc_id strings
+        # corrupt every dedup built on them beyond 1e10 docs.  The
+        # oracle mirrors this exact CASE (oracles.sql _DOC_ID_SQL).
+        "doc_id": pa.array(np.char.add("doc-", _pad10(ids))),
         "doc_key": pa.array(ids),
         "spans": spans_for(ids),
         "x": pa.array(x),

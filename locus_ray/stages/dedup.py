@@ -17,7 +17,8 @@ import ray
 
 from ..config import actor_pool
 
-from .text import FNV_PRIME, FNV_SEED, flat_token_hashes, hash_token
+from .text import (FNV_PRIME, FNV_SEED, flat_token_hashes, hash_token,
+                   poly_fold)
 
 # 64 independent 64-bit universal-hash parameter pairs for MinHash,
 # generated once from a fixed seed (shared by every actor).
@@ -123,15 +124,8 @@ def _shingle_hashes_flat(th: np.ndarray, lo: np.ndarray, k: int = 3
 
     small = np.nonzero(n_tok < k)[0]
     if len(small):
-        acc = np.full(len(small), FNV_SEED, dtype=np.uint64)
-        pos = lo[small].copy()
-        ends = lo[small + 1]
-        act = np.arange(len(small))
-        while len(act):
-            acc[act] = acc[act] * FNV_PRIME + th[pos[act]]
-            pos[act] += 1
-            act = act[pos[act] < ends[act]]
-        out[~big_slot] = acc
+        # shared seed-fold (text.poly_fold) — one copy with fingerprint
+        out[~big_slot] = poly_fold(th, lo[small], lo[small + 1])
     return out, out_off
 
 
@@ -150,9 +144,17 @@ def minhash_signatures(ds, text_col: str = "text", num_perm: int = 64, shingle_k
         for j in range(num_perm):
             v = (sh * _MH_A[j] + _MH_B[j]) % _MERSENNE
             sigs[:, j] = np.minimum.reduceat(v, so[:-1])
+        # explicit ListArray construction: pa.array(list(...)) infers
+        # type NULL on a zero-row batch (schema drift vs non-empty
+        # blocks, AttributeError in every downstream .values consumer)
+        # and round-trips through Python lists besides
+        sig_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(ndocs + 1, dtype=np.int64) * num_perm,
+                     type=pa.int32()),
+            pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array(list(sigs.astype(np.int64))),
+            "minhash": sig_col,
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -178,7 +178,10 @@ def _apply_salting(d, z, hot_threshold: int, max_fan: int = 64,
         cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
         fan = _fans(cid, keys, fans)
         row = np.repeat(np.arange(len(cid), dtype=np.int64), fan)
-        starts = np.concatenate(([0], np.cumsum(fan)[:-1]))
+        # empty block (all-big or filtered upstreams): ([0], cumsum)
+        # would be 1-long against 0-long fan and np.repeat raises
+        starts = np.zeros(len(fan), dtype=np.int64)
+        np.cumsum(fan[:-1], out=starts[1:])
         salt = np.arange(int(fan.sum()), dtype=np.int64) - np.repeat(starts, fan)
         t = batch.take(pa.array(row))
         key = cid[row] * max_fan + salt

@@ -128,7 +128,10 @@ class PipIndex:
             counts = np.where(hit, self._offsets[loc_c + 1] - self._offsets[loc_c], 0)
             src = np.repeat(np.arange(len(x), dtype=np.int64), counts)
             starts = self._offsets[loc_c]
-            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            # zero-row batch: ([0], cumsum) would be 1-long against
+            # 0-long counts and np.repeat raises
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
             local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs, counts)
             entry = np.repeat(starts, counts) + local
         else:

@@ -33,7 +33,11 @@ def token_count(ds, text_col: str = "text"):
     """doc_id + n_tokens (single-space split, matches the SQL oracle)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(pc.split_pattern(batch.column(text_col), " "))
+        # fill_null like every sibling stage (token_count_bpe, lang_id,
+        # the sketches): a NULL text row must count as the empty
+        # string, not emit a NULL n_tokens inconsistent with them
+        col = pc.fill_null(batch.column(text_col), "")
+        n = pc.list_value_length(pc.split_pattern(col, " "))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": n.cast(pa.int64()),
@@ -70,7 +74,10 @@ def text_stats(ds, text_col: str = "text"):
     distinct-token ratio (all deterministic, SQL-reproducible)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col)
+        # NULL text counts as "" (see token_count) — keeps every
+        # column of this row consistent with distinct_token_counts,
+        # which routes through the null-filling tokenizer
+        text = pc.fill_null(batch.column(text_col), "")
         n_chars = pc.utf8_length(text).cast(pa.int64())
         toks = pc.split_pattern(text, " ")
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
@@ -253,15 +260,7 @@ def fingerprint(ds, text_col: str = "text", window: int = 8):
         if len(small):
             # short docs: the sequential seed-fold acc = acc*P + h,
             # vectorized across docs (<= window-1 iterations)
-            acc = np.full(len(small), FNV_SEED, dtype=np.uint64)
-            pos = lo[small].copy()
-            ends = lo[small + 1]
-            act = np.arange(len(small))
-            while len(act):
-                acc[act] = acc[act] * FNV_PRIME + th[pos[act]]
-                pos[act] += 1
-                act = act[pos[act] < ends[act]]
-            fp[small] = acc
+            fp[small] = poly_fold(th, lo[small], lo[small + 1])
 
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -305,16 +304,8 @@ def fnv1a_hashes(arr: pa.Array) -> np.ndarray:
     offs = offs_all[arr.offset:arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
 
-    h = np.full(n, FNV_SEED, dtype=np.uint64)
-    ends = offs[1:]
-    pos = offs[:-1].copy()
-    act = np.nonzero(pos < ends)[0]
-    while len(act):
-        c = data[pos[act]].astype(np.uint64)
-        h[act] = (h[act] ^ c) * FNV_PRIME  # uint64 wraps mod 2^64
-        pos[act] += 1
-        act = act[pos[act] < ends[act]]
-    return h
+    # whole-string spans are just [offs[i], offs[i+1]) byte spans
+    return _fnv_fold_spans(data, offs[:-1], offs[1:])
 
 
 def _string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -341,6 +332,24 @@ def _fnv_fold_spans(data: np.ndarray, starts: np.ndarray, ends: np.ndarray
         pos[act] += 1
         act = act[pos[act] < ends[act]]
     return h
+
+
+def poly_fold(values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+              ) -> np.ndarray:
+    """Sequential polynomial seed-fold ``acc = acc * FNV_PRIME +
+    values[pos]`` over [start, end) spans of a uint64 array, vectorized
+    across spans with a shrinking active set (iterates max-span-length
+    times).  Shared by :func:`fingerprint`'s short-doc path and
+    ``dedup._shingle_hashes_flat``'s short-doc path — one copy so a
+    guard fix can never drift between them."""
+    acc = np.full(len(starts), FNV_SEED, dtype=np.uint64)
+    pos = starts.copy()
+    act = np.nonzero(pos < ends)[0]
+    while len(act):
+        acc[act] = acc[act] * FNV_PRIME + values[pos[act]]
+        pos[act] += 1
+        act = act[pos[act] < ends[act]]
+    return acc
 
 
 def flat_token_hashes(col, pattern: str = " ") -> tuple[np.ndarray, np.ndarray]:

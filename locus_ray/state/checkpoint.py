@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from typing import Callable
 
 
@@ -52,9 +53,25 @@ def run_shard(out_dir: str, shard: str, build: Callable[[], "object"],
         with open(marker) as f:
             return json.load(f)
 
-    tmp = os.path.join(out_dir, f"_tmp-{shard}")
+    # RUN-UNIQUE tmp path: a shared _tmp-<shard> let two concurrent
+    # resumers (a hung-but-alive driver plus its restarted
+    # replacement) rmtree each other's in-flight files and publish an
+    # interleaved mix as complete.  Each run writes its own dir; the
+    # losing run's debris is cleaned by the final-rename winner below.
+    tmp = os.path.join(out_dir, f"_tmp-{shard}-{os.getpid():x}-{uuid.uuid4().hex[:8]}")
     final = shard_dir(out_dir, shard)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # sweep stale tmp dirs whose writer pid is DEAD (crash debris);
+    # a live concurrent resumer's dir is left untouched
+    for name in os.listdir(out_dir):
+        if not name.startswith(f"_tmp-{shard}-"):
+            continue
+        try:
+            pid = int(name[len(f"_tmp-{shard}-"):].split("-")[0], 16)
+            os.kill(pid, 0)  # raises if the pid is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     t0 = time.time()
     ds = build()
     ds.write_parquet(tmp)
@@ -63,6 +80,13 @@ def run_shard(out_dir: str, shard: str, build: Callable[[], "object"],
         if f.endswith(".parquet")
     )
     _fsync_tree(tmp)
+    if os.path.exists(marker):
+        # another resumer finished while we built: keep ITS published
+        # shard (ours is equivalent but must not clobber a directory
+        # readers may already be scanning) and discard our tmp
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker) as f:
+            return json.load(f)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
     _fsync_dir(out_dir)

@@ -177,3 +177,25 @@ def test_segment_tree_max_children_sweep():
         t = SegmentTree(sx, sy, ex, ey, ids=ids, max_children=mc)
         got = [i for i, _ in t.n_nearest_to_point(3, qx, qy)]
         assert got == expect, mc
+
+
+def test_trees_n_zero_returns_empty():
+    """n <= 0 must return [] — the iter-drain break fires only AFTER an
+    append (r/seg trees returned ALL items) and the kd bounded heap
+    indexed heap[0] on an empty heap."""
+    import numpy as np
+
+    from locus_ray import derive
+    from locus_ray.index import KDTree, PackedRTree, SegmentTree
+
+    ids = np.arange(50, dtype=np.int64)
+    x, y = derive.doc_xy(ids)
+    kd = KDTree(x, y, ids=ids)
+    assert kd.n_nearest(0, 0.0, 0.0) == []
+    mnx, mxx, mny, mxy = derive.zone_box(ids)
+    rt = PackedRTree(mnx, mxx, mny, mxy, ids=ids)
+    assert rt.n_nearest(0, 0.0, 0.0) == []
+    sx, sy, ex, ey = derive.segment_coords(ids)
+    st = SegmentTree(sx, sy, ex, ey, ids=ids)
+    assert st.n_nearest_to_point(0, 0.0, 0.0) == []
+    assert st.n_nearest_to_segment(0, 0.0, 0.0, 1.0, 1.0) == []

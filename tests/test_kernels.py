@@ -89,3 +89,56 @@ def test_pip_boundary_closed():
     py = np.array([5.0, 5.0, 10.0, 0.0, 5.0])
     got = kernels.points_in_polygon(sq_x, sq_y, px, py)
     assert got.tolist() == [True, True, True, True, False]
+
+
+def test_box_segment_distance_degenerate_boxes():
+    """P8 on zero-extent boxes must return the true distance, not the
+    NaN its zero-length edges fed through P7's t = ./len2 projection.
+    Non-degenerate results keep the exact original op sequence."""
+    a = np.array
+    # vertical-line box at x=1, segment x=5 spanning the box's y range
+    d = kernels.box_segment_squared_distance(
+        a([1.0]), a([1.0]), a([0.0]), a([2.0]),
+        a([5.0]), a([0.0]), a([5.0]), a([2.0]))
+    assert d[0] == 16.0
+    # point box
+    d = kernels.box_segment_squared_distance(
+        a([1.0]), a([1.0]), a([1.0]), a([1.0]),
+        a([4.0]), a([1.0]), a([6.0]), a([1.0]))
+    assert d[0] == 9.0
+    # touching degenerate box -> 0
+    d = kernels.box_segment_squared_distance(
+        a([5.0]), a([5.0]), a([1.0]), a([1.0]),
+        a([4.0]), a([1.0]), a([6.0]), a([1.0]))
+    assert d[0] == 0.0
+    # normal box result unchanged
+    d = kernels.box_segment_squared_distance(
+        a([0.0]), a([2.0]), a([0.0]), a([2.0]),
+        a([5.0]), a([0.0]), a([5.0]), a([2.0]))
+    assert d[0] == 9.0
+
+
+def test_derive_mod_first_no_int64_wrap():
+    """doc_xy/zone_box/segment_coords must agree with the DuckDB-side
+    expression at ids far beyond the old id * A int64 wrap point
+    (~3.5e9), and stay bit-identical at small ids."""
+    import duckdb
+
+    from locus_ray import derive
+
+    small = np.arange(1000, dtype=np.int64)
+    x, _ = derive.doc_xy(small)
+    h1 = (small * 2654435761) % 1000003  # old form, exact at small ids
+    u1 = h1 / 1000003.0
+    x_old = np.where(small % 5 == 0, 10.0 + (u1 * 4.0 - 2.0),
+                     u1 * 360.0 - 180.0)
+    assert (x == x_old).all()
+    for d in (4_000_000_000_001, 4_000_000_000_000, 2**61):
+        xb, _ = derive.doc_xy(np.array([d], dtype=np.int64))
+        expr = f"(({d} % 1000003) * 2654435761 % 1000003) / 1000003.0e0"
+        sql = (f"SELECT 10.0e0 + ({expr} * 4.0e0 - 2.0e0)" if d % 5 == 0
+               else f"SELECT {expr} * 360.0e0 - 180.0e0")
+        assert xb[0] == duckdb.sql(sql).fetchone()[0], d
+    # zone/segment derivations run (no OverflowError / wrap asymmetry)
+    derive.zone_box(np.array([2**61], dtype=np.int64))
+    derive.segment_coords(np.array([2**61], dtype=np.int64))

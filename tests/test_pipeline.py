@@ -1546,3 +1546,116 @@ def test_point_segment_within_join_vs_brute_force(ray_session):
     assert any(p[:2] == (0, 0) for p in want)
     assert not any(p[:2] == (1, 0) for p in want)
     assert got == want
+
+
+def test_engine_empty_block_paths():
+    """Zero-row / empty-side unit paths across the engines: these are
+    the blocks filtered upstreams emit, and each of these call sites
+    crashed on them before round 5 (broadcast-shape ValueError /
+    ZeroDivisionError / IndexError)."""
+    import pyarrow as pa
+
+    from locus_ray.stages.ann import _as_matrix
+    from locus_ray.stages.dedup import minhash_signatures  # noqa: F401
+    from locus_ray.stages.pip import PipIndex
+    from locus_ray.stages.spatial import AttachPayloadActor
+
+    # _as_matrix: conformable (0, d)
+    emb = pa.table({"embedding": pa.array([], type=pa.list_(pa.float64()))})
+    assert _as_matrix(emb.column("embedding"), d=16).shape == (0, 16)
+
+    # PipIndex.probe on a zero-row batch with a non-empty raster
+    ring = {"polygon_id": 1,
+            "ring_x": np.array([0.0, 1.0, 1.0, 0.0]),
+            "ring_y": np.array([0.0, 0.0, 1.0, 1.0])}
+    idx = PipIndex({"polygons": [ring]}, res=6)
+    src, poly = idx.probe(np.empty(0), np.empty(0))
+    assert len(src) == 0 and len(poly) == 0
+
+    # AttachPayloadActor with an EMPTY payload drops all rows
+    payload = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                        "spans": pa.array([], type=pa.list_(pa.int32()))})
+    att = AttachPayloadActor(payload, key="doc_id", columns=("spans",))
+    out = att(pa.table({"doc_id": pa.array([5], type=pa.int64())}))
+    assert out.num_rows == 0 and "spans" in out.schema.names
+
+
+def test_minhash_empty_batch_schema_stable(ray_session):
+    """A zero-row batch must emit the SAME minhash column type as
+    non-empty blocks (pa.array(list(...)) inferred type NULL)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "text": pa.array(["one two three", "four five six"]),
+    }))
+    t_full = pa.concat_tables(
+        dedup.minhash_signatures(ds).iter_batches(batch_size=None,
+                                                  batch_format="pyarrow"))
+    assert t_full.schema.field("minhash").type == pa.list_(pa.int64())
+    # an EMPTY BLOCK flows through the map fn (a task fires per block
+    # regardless of emptiness); the old pa.array(list(...)) emitted a
+    # null-typed minhash there and the banded-LSH explode crashed on
+    # NullArray.values.  Drive that exact consumption over a stream
+    # containing an empty block.  (The full join funnel can't run on
+    # this fixture: Ray 2.49's hash-shuffle join raises on mostly-empty
+    # streams — the documented CLAUDE.md hazard the library's narrow
+    # paths avoid with the union+groupby attach idiom.)
+    emptied = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["x"]), "text": pa.array(["y z"]),
+    })).map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+
+    def consume(t: pa.Table) -> pa.Table:
+        col = t.column("minhash")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _ = col.values  # NullArray has no .values
+        return pa.table({"n": pa.array([len(col)], type=pa.int64())})
+
+    total = (dedup.minhash_signatures(ds.union(emptied))
+             .map_batches(consume, batch_format="pyarrow")
+             .to_pandas()["n"].sum())
+    assert total == 2
+
+
+def test_checkpoint_concurrent_resume_keeps_winner(ray_session, tmp_path):
+    """If another resumer publishes the marker while this run builds,
+    run_shard must return the PUBLISHED record and discard its own tmp
+    (the old shared _tmp-<shard> path let two runs corrupt each other)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from locus_ray.state import checkpoint
+
+    out = str(tmp_path / "out")
+    marker_dir = os.path.join(out, "done")
+
+    def build():
+        # simulate a concurrent run winning mid-build
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(os.path.join(marker_dir, "s1.json"), "w") as f:
+            json.dump({"shard": "s1", "rows": 777}, f)
+        return rd.range(10)
+
+    rec = checkpoint.run_shard(out, "s1", build)
+    assert rec["rows"] == 777  # the published record, not ours
+    assert not any(n.startswith("_tmp-s1-") for n in os.listdir(out))
+
+
+def test_segmental_tree_context_nearest_consistency():
+    """nearest_item / nearest_to_point_item must route through the same
+    context-aware engine as the k>1 family (they silently returned the
+    euclidean winner under a manhattan context)."""
+    from locus_ray.compat import SegmentalTree
+
+    segs = [((0.0, 0.0), (0.0, 4.0)), ((2.9, 3.0), (6.0, 3.0))]
+    st = SegmentalTree(segs, context="manhattan")
+    q = ((3.0, 0.1), (3.1, 0.2))
+    assert st.nearest_item(q) == st.n_nearest_items(1, q)[0]
+    p = (3.0, 0.5)
+    assert st.nearest_to_point_item(p) == st.n_nearest_to_point_items(1, p)[0]
