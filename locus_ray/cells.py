@@ -41,9 +41,17 @@ from .config import (
 def grid_coords(
     x: np.ndarray, y: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """float64 world coords -> int64 grid coords in [0, 65535]."""
-    ix = np.floor((np.asarray(x, dtype=np.float64) - WORLD_MIN_X) / WORLD_W * SQUARE_SIZE)
-    iy = np.floor((np.asarray(y, dtype=np.float64) - WORLD_MIN_Y) / WORLD_H * SQUARE_SIZE)
+    """float64 world coords -> int64 grid coords in [0, 65535].
+
+    NaN coordinates raise: clip(NaN) passes through and the int64 cast
+    is UNDEFINED (observed INT64_MIN), silently routing the row into a
+    garbage cell that drops it from every shuffle join with no error."""
+    xf = np.asarray(x, dtype=np.float64)
+    yf = np.asarray(y, dtype=np.float64)
+    if np.isnan(xf).any() or np.isnan(yf).any():
+        raise ValueError("NaN coordinate in grid_coords input")
+    ix = np.floor((xf - WORLD_MIN_X) / WORLD_W * SQUARE_SIZE)
+    iy = np.floor((yf - WORLD_MIN_Y) / WORLD_H * SQUARE_SIZE)
     ix = np.clip(ix, 0, MAX_COORDINATE).astype(np.int64)
     iy = np.clip(iy, 0, MAX_COORDINATE).astype(np.int64)
     return ix, iy
@@ -51,6 +59,9 @@ def grid_coords(
 
 def cell_of_grid(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
     """Grid coords -> row-major cell id at resolution ``res``."""
+    if not 0 <= res <= GRID_BITS:
+        # a negative shift count is numpy UB (observed all-zero cells)
+        raise ValueError(f"res must be in [0, {GRID_BITS}], got {res}")
     shift = GRID_BITS - res
     cx = np.asarray(ix, dtype=np.int64) >> shift
     cy = np.asarray(iy, dtype=np.int64) >> shift

@@ -66,6 +66,42 @@ def _manhattan_box_point(min_x, max_x, min_y, max_y, x, y):
     return gx + gy
 
 
+def _manhattan_segment_point(sx, sy, ex, ey, px, py):
+    """L1 point-to-segment distance.  f(t) = |sx+t·dx−px| + |sy+t·dy−py|
+    is convex piecewise-linear in t, so the min over [0, 1] is attained
+    at a clipped breakpoint: t ∈ {0, 1, tx, ty} where each |·| term
+    vanishes.  (The euclidean projection kernel here would make ring
+    retirement compare a squared-euclid kth against the L1 grid_bound
+    and retire early — the round-5 manhattan-segment bug.)"""
+    dx = ex - sx
+    dy = ey - sy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx = np.where(dx != 0, (px - sx) / np.where(dx != 0, dx, 1.0), 0.0)
+        ty = np.where(dy != 0, (py - sy) / np.where(dy != 0, dy, 1.0), 0.0)
+    best = None
+    for t in (np.zeros_like(tx), np.ones_like(tx),
+              np.clip(tx, 0.0, 1.0), np.clip(ty, 0.0, 1.0)):
+        d = np.abs(sx + t * dx - px) + np.abs(sy + t * dy - py)
+        best = d if best is None else np.minimum(best, d)
+    return best
+
+
+def _manhattan_segments(asx, asy, aex, aey, bsx, bsy, bex, bey):
+    """L1 segment-to-segment distance: 0 if intersecting, else the min
+    of the four endpoint-to-segment L1 distances.  Valid for ANY norm:
+    the difference set {a − b} is a convex polygon, and the norm's min
+    over a convex polygon not containing the origin lies on an edge —
+    each edge fixes one parameter at an endpoint."""
+    d = np.minimum(
+        np.minimum(_manhattan_segment_point(bsx, bsy, bex, bey, asx, asy),
+                   _manhattan_segment_point(bsx, bsy, bex, bey, aex, aey)),
+        np.minimum(_manhattan_segment_point(asx, asy, aex, aey, bsx, bsy),
+                   _manhattan_segment_point(asx, asy, aex, aey, bex, bey)),
+    )
+    hit = kernels.segments_intersect(asx, asy, aex, aey, bsx, bsy, bex, bey)
+    return np.where(hit, 0.0, d)
+
+
 def _exact_context() -> Context:
     from . import exact
 
@@ -98,6 +134,11 @@ register_context(Context(
     name="manhattan",
     points_squared_distance=_manhattan_points,
     box_point_squared_distance=_manhattan_box_point,
+    # EVERY metric kernel must be L1 — a squared-euclid segment kernel
+    # against the sqrt grid_bound retired ring expansion early and
+    # returned wrong nearest segments (round-5 review repro)
+    segment_point_squared_distance=_manhattan_segment_point,
+    segments_squared_distance=_manhattan_segments,
     # d1 >= d2 = sqrt(squared euclid) -> a valid L1 lower bound
     grid_bound=lambda b: np.sqrt(b),
 ))

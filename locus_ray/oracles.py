@@ -317,7 +317,7 @@ def tile_index_stats_sql(res: int = 4, max_children: int = 16) -> str:
     t AS (SELECT ({ix} // {shift_div}) * {axis} + ({iy} // {shift_div}) AS tile FROM z),
     c AS (SELECT tile, COUNT(*) AS n_zones FROM t GROUP BY tile),
     h(tile, m, lv) AS (
-      SELECT tile, n_zones, 1 FROM c
+      SELECT tile, n_zones, CAST(1 AS BIGINT) FROM c
       UNION ALL
       SELECT tile, CAST(CEIL(m / {max_children}.0) AS BIGINT), lv + 1
       FROM h WHERE m > 1 OR lv = 1

@@ -46,19 +46,35 @@ def has_fraction(scalars) -> bool:
     return any(isinstance(s, Fraction) for s in scalars)
 
 
+def _fr(v) -> Fraction:
+    """Coerce to Fraction.  Floats are exactly-representable rationals;
+    WITHOUT this, one float operand (e.g. a float query point against a
+    Fraction-built tree) silently degrades the whole expression to
+    float64 (Fraction * float -> float in Python), breaking the
+    documented sub-ulp exactness (round-5 review repro: two build
+    points 2^-80 apart collapsed to a float tie)."""
+    return v if isinstance(v, Fraction) else Fraction(v)
+
+
 def point_point_d2(ax, ay, bx, by):
+    ax, ay, bx, by = _fr(ax), _fr(ay), _fr(bx), _fr(by)
     dx = ax - bx
     dy = ay - by
     return dx * dx + dy * dy
 
 
 def box_point_d2(min_x, max_x, min_y, max_y, x, y):
+    min_x, max_x = _fr(min_x), _fr(max_x)
+    min_y, max_y = _fr(min_y), _fr(max_y)
+    x, y = _fr(x), _fr(y)
     gx = max(min_x - x, x - max_x, 0)
     gy = max(min_y - y, y - max_y, 0)
     return gx * gx + gy * gy
 
 
 def segment_point_d2(sx, sy, ex, ey, x, y):
+    sx, sy, ex, ey = _fr(sx), _fr(sy), _fr(ex), _fr(ey)
+    x, y = _fr(x), _fr(y)
     dx = ex - sx
     dy = ey - sy
     l2 = dx * dx + dy * dy
@@ -106,6 +122,8 @@ def segment_segment_d2(asx, asy, aex, aey, bsx, bsy, bex, bey):
     """Exact squared distance between two closed segments (P7
     contract, kernels.py:125: 0 when they intersect, else the min of
     the four endpoint-to-other-segment distances)."""
+    asx, asy, aex, aey = _fr(asx), _fr(asy), _fr(aex), _fr(aey)
+    bsx, bsy, bex, bey = _fr(bsx), _fr(bsy), _fr(bex), _fr(bey)
     if _segments_intersect(asx, asy, aex, aey, bsx, bsy, bex, bey):
         return Fraction(0)
     return min(

@@ -88,7 +88,7 @@ class MediaFeatureActor:
         return pa.table({
             "doc_id": batch.column("doc_id").take(
                 pa.array(parent[keep])).cast(pa.string()),
-            "span_idx": pa.array(span_idx[keep].astype(np.int32)),
+            "span_idx": pa.array(span_idx[keep]),  # int64 (BIGINT parity)
             "kind": kind.take(pa.array(keep)).cast(pa.string()),
             "media_ref": refs.cast(pa.string()),
             "feature": pa.ListArray.from_arrays(
@@ -158,7 +158,7 @@ class MediaTransformActor:
         refs = flat.field("media_ref").take(pa.array(keep))
         digests = [self._kernel(r) for r in refs.to_pylist()]  # codec seam
         doc_id = batch.column("doc_id").take(pa.array(parent[keep]))
-        sidx = span_idx[keep].astype(np.int32)
+        sidx = span_idx[keep]  # int64 (BIGINT parity with the oracles)
         if self.op == "resize":
             n = len(keep)
             return pa.table({

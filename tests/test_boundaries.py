@@ -100,3 +100,22 @@ def test_random_worlds_property(seed=0):
             order = np.lexsort((np.arange(m), d))[: min(k, m)]
             assert np.array_equal(gi[i][: len(order)], order), (trial, i)
             assert np.allclose(gd[i][: len(order)], d[order])
+
+
+def test_grid_coords_rejects_nan_and_res_bounds():
+    """NaN coords must raise (clip(NaN)→int64 is UB, silently landing
+    rows in garbage cells); res beyond GRID_BITS must raise (negative
+    shift is numpy UB)."""
+    import numpy as np
+    import pytest
+
+    from locus_ray import cells
+
+    with pytest.raises(ValueError):
+        cells.grid_coords(np.array([np.nan]), np.array([0.0]))
+    with pytest.raises(ValueError):
+        cells.grid_coords(np.array([0.0]), np.array([np.nan]))
+    ix, iy = cells.grid_coords(np.array([0.0]), np.array([0.0]))
+    with pytest.raises(ValueError):
+        cells.cell_of_grid(ix, iy, 17)
+    assert cells.cell_of_grid(ix, iy, 8).shape == (1,)

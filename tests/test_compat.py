@@ -100,3 +100,83 @@ def test_rtree_and_segtree_exact_context_smoke():
     st = SegmentalTree([((0.0, 0.0), (1.0, 0.0)), ((5.0, 5.0), (6.0, 5.0))],
                        context="exact")
     assert st.n_nearest_indices(1, ((5.2, 5.1), (5.8, 5.1))) == [1]
+
+
+def test_manhattan_segment_queries_vs_brute_force():
+    """The manhattan context must score SEGMENTS in L1 too: with the
+    euclidean segment kernel, ring retirement compared a squared-euclid
+    kth against the L1 grid_bound and returned wrong nearest segments."""
+    import numpy as np
+
+    from locus_ray.context import (_manhattan_segment_point,
+                                   _manhattan_segments)
+    from locus_ray.grid_index import GridKnn, SegSegGridKnn
+
+    rng = np.random.default_rng(11)
+    n = 400
+    sx = rng.uniform(-20, 20, n)
+    sy = rng.uniform(-20, 20, n)
+    ex = sx + rng.uniform(0.1, 3.0, n)
+    ey = sy + rng.uniform(-3.0, 3.0, n)
+    geoms = {"start_x": sx, "start_y": sy, "end_x": ex, "end_y": ey}
+    ids = np.arange(n, dtype=np.int64)
+
+    qx = rng.uniform(-20, 20, 40)
+    qy = rng.uniform(-20, 20, 40)
+    idx = GridKnn("segment", geoms, ids, res=8, context="manhattan")
+    got_ids, got_d = idx.query(qx, qy, 3)
+    bf = _manhattan_segment_point(sx[None, :], sy[None, :],
+                                  ex[None, :], ey[None, :],
+                                  qx[:, None], qy[:, None])
+    for r in range(len(qx)):
+        order = np.lexsort((ids, bf[r]))[:3]
+        assert got_ids[r].tolist() == ids[order].tolist(), r
+        assert np.allclose(got_d[r], bf[r][order])
+
+    # seg-seg: query segments against the same build side
+    qsx, qsy = qx[:10], qy[:10]
+    qex, qey = qsx + 0.5, qsy - 0.7
+    ss = SegSegGridKnn(geoms, ids, res=6, context="manhattan")
+    ss_ids, ss_d = ss.query(qsx, qsy, qex, qey, 2)
+    bf2 = _manhattan_segments(qsx[:, None], qsy[:, None],
+                              qex[:, None], qey[:, None],
+                              sx[None, :], sy[None, :],
+                              ex[None, :], ey[None, :])
+    for r in range(len(qsx)):
+        order = np.lexsort((ids, bf2[r]))[:2]
+        assert ss_ids[r].tolist() == ids[order].tolist(), r
+
+
+def test_manhattan_l1_kernel_values():
+    """Spot values of the L1 segment kernels (breakpoint minimum)."""
+    import numpy as np
+
+    from locus_ray.context import _manhattan_segment_point
+
+    # vertical segment x=0, y in [0, 4]; query (3, 2): min at ty -> 3
+    d = _manhattan_segment_point(np.array([0.0]), np.array([0.0]),
+                                 np.array([0.0]), np.array([4.0]),
+                                 np.array([3.0]), np.array([2.0]))
+    assert d[0] == 3.0
+    # diagonal segment (0,0)-(4,4); query (1, 3): best at t=0.5 via
+    # breakpoints tx=0.25 (d=3-4t -> 2) / ty=0.75 (d=4t-... ) -> 2
+    d = _manhattan_segment_point(np.array([0.0]), np.array([0.0]),
+                                 np.array([4.0]), np.array([4.0]),
+                                 np.array([1.0]), np.array([3.0]))
+    assert d[0] == 2.0
+
+
+def test_fraction_exactness_with_float_queries():
+    """A float query against a Fraction-built tree must stay exact:
+    Fraction * float degrades to float64 and collapsed sub-ulp build
+    points into a float tie resolved by the wrong id."""
+    from fractions import Fraction
+
+    from locus_ray.compat import KdTree
+
+    a = Fraction(1, 3)
+    b = a + Fraction(1, 2**80)  # one sub-float64-ulp apart
+    t = KdTree([(a, 0), (b, 0)])
+    # 0.4 > 1/3, so the slightly-larger b (id 1) is strictly nearer
+    assert t.nearest_index((0.4, 0.0)) == 1
+    assert t.nearest_index((Fraction(2, 5), Fraction(0))) == 1

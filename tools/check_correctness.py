@@ -53,6 +53,11 @@ def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.md5()
     for c in df.columns:
         col = df[c]
+        # dtype is part of the hash: repr(tolist()) alone made int32
+        # and int64 columns hash identically, masking exactly the
+        # engine-vs-oracle type mismatches the real driver gate flags
+        # (CLAUDE.md: integers from SQL must CAST to BIGINT)
+        h.update(str(col.dtype).encode())
         if np.issubdtype(col.dtype, np.floating):
             h.update(col.to_numpy().tobytes())
         else:
@@ -81,6 +86,22 @@ def main(sf_dir: str, only: list[str]) -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = 0
+    # a typo'd --only name or a queries()/oracle_sql() key drift must
+    # FAIL, not silently check nothing (exit 0 looked like a pass)
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"FAIL unknown query name(s): {unknown}")
+        failures += 1
+    if not only:
+        stray = sorted(set(oracles) - set(qs))
+        missing = sorted(set(qs) - set(oracles))
+        if stray:
+            print(f"FAIL oracle_sql() keys with no queries() entry: {stray}")
+            failures += 1
+        if missing:
+            # rows-only gates are allowed but must be a visible choice
+            print(f"note queries() entries without a SQL oracle "
+                  f"(rows-only): {missing}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
