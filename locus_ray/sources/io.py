@@ -24,14 +24,29 @@ def lance_available() -> bool:
 
 
 def read_docs(path: str, columns: list[str] | None = None):
-    """Read an interleaved-docs table from a Lance dataset or a parquet
-    directory/file, whichever the path holds and the env supports."""
-    if path.endswith(".lance") and lance_available():
+    """Read an interleaved-docs table from a Lance dataset (``.lance``
+    path) or a parquet directory/file.
+
+    A ``.lance`` path WITHOUT pylance raises instead of silently
+    reading the directory as parquet: the silent fallback fed real
+    Lance data to read_parquet (garbage/ArrowInvalid) and, worse, let
+    write_docs publish parquet bytes under a .lance name that a
+    pylance-enabled box then failed to read."""
+    if path.endswith(".lance"):
+        if not lance_available():
+            raise RuntimeError(
+                "pylance is not installed in this environment; cannot "
+                f"read the Lance dataset {path!r} (use a parquet path, "
+                "or install pylance)")
         return rd.read_lance(path, columns=columns)
     return rd.read_parquet(path, columns=columns)
 
 
 def write_docs(ds, path: str):
-    if path.endswith(".lance") and lance_available():
+    if path.endswith(".lance"):
+        if not lance_available():
+            raise RuntimeError(
+                "pylance is not installed in this environment; refusing "
+                f"to write parquet bytes under the Lance name {path!r}")
         return ds.write_lance(path)
     return ds.write_parquet(path)

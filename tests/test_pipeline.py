@@ -667,17 +667,22 @@ def test_ngram_jaccard_matches_reference_sets(ray_session):
 def test_io_lance_gating(ray_session, tmp_path):
     from locus_ray.sources import io
 
-    # lance is absent in this image: gate must report False and the
-    # parquet fallback must round-trip
+    # lance is absent in this image: the gate reports False, a .lance
+    # path RAISES (the old silent parquet fallback published parquet
+    # bytes under a Lance name that a pylance box then failed to read),
+    # and plain parquet paths round-trip
     assert io.lance_available() is False
     import pyarrow as pa
     import ray.data as rd
 
     ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "v": [0.1, 0.2, 0.3]}))
-    out = str(tmp_path / "docs.lance")  # .lance suffix, parquet fallback
+    with pytest.raises(RuntimeError, match="pylance"):
+        io.write_docs(ds, str(tmp_path / "docs.lance"))
+    with pytest.raises(RuntimeError, match="pylance"):
+        io.read_docs(str(tmp_path / "docs.lance"))
+    out = str(tmp_path / "docs_parquet")
     io.write_docs(ds, out)
-    back = io.read_docs(out, columns=["doc_id"])
-    assert back.count() == 3
+    assert io.read_docs(out, columns=["doc_id"]).count() == 3
 
 
 def test_connected_components_chain(ray_session):

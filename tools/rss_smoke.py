@@ -88,7 +88,7 @@ def main_ngram() -> None:
     rss_3 = rss_mb()
     retained = rss_2 - rss_1
     growth = rss_3 - rss_2
-    growth_bound_mb = (n_pairs - n_small) * 1024 / (1024 * 1024)
+    growth_bound_mb = max(8.0, (n_pairs - n_small) * 1024 / (1024 * 1024))  # floor: tiny runs made the bound negative and flagged leak-free runs
     flat = retained < 48.0 and growth < growth_bound_mb
     print(json.dumps({
         "mode": "ngram", "n_pairs": n_pairs, "n_small": n_small,
@@ -180,7 +180,7 @@ def main() -> None:
     rss_large = rss_mb()
     retained = rss_small_2 - rss_small_1
     growth = rss_large - rss_small_2
-    growth_bound_mb = (n_docs - n_small) * 1024 / (1024 * 1024)
+    growth_bound_mb = max(8.0, (n_docs - n_small) * 1024 / (1024 * 1024))  # floored, see main_ngram
     flat = retained < 48.0 and growth < growth_bound_mb
     print(json.dumps({
         "n_docs": n_docs, "n_small": n_small,

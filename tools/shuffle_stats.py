@@ -34,7 +34,11 @@ def main(n_docs: int, ncpus: int, stage: str = "contain") -> None:
 
     corpus = ensure_corpus(n_docs)
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    hot = int(os.environ.get("HOT_THRESHOLD", "200000"))
+    # defaults MATCH the bench rungs (contain salts at 200k, kNN at
+    # 25k — bench.py q5/q6): profiling a threshold the bench no longer
+    # runs aims straggler work at the wrong bottleneck
+    hot_contain = int(os.environ.get("HOT_THRESHOLD", "200000"))
+    hot_knn = int(os.environ.get("HOT_THRESHOLD", "25000"))
     docs = rd.read_parquet(corpus, columns=["doc_key", "x", "y"])
     zones = tables.zones_ds(sf_dir)
     if stage == "knn":
@@ -50,11 +54,11 @@ def main(n_docs: int, ncpus: int, stage: str = "contain") -> None:
     if stage == "contain":
         out = partitioned.contain_join_partitioned(
             docs, zones, res=8, num_partitions=max(16, ncpus),
-            hot_threshold=hot, carry=("doc_key",))
+            hot_threshold=hot_knn, carry=("doc_key",))
     elif stage == "knn":
         out = partitioned.knn_join_partitioned(
             docs, zones, payload, k=3, res=8,
-            num_partitions=max(16, ncpus), hot_threshold=hot,
+            num_partitions=max(16, ncpus), hot_threshold=hot_contain,
             carry=("doc_key",), prebuilt_ref=ref)
     else:
         raise SystemExit(f"unknown stage {stage!r} (contain | knn)")
