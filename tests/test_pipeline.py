@@ -1664,3 +1664,121 @@ def test_segmental_tree_context_nearest_consistency():
     assert st.nearest_item(q) == st.n_nearest_items(1, q)[0]
     p = (3.0, 0.5)
     assert st.nearest_to_point_item(p) == st.n_nearest_to_point_items(1, p)[0]
+
+
+def test_knn_shuffle_randomized_layers(ray_session):
+    """Randomized-geometry differential sweep of the grouped-exchange
+    shuffle kNN vs numpy brute force: uniform layers, a fully
+    degenerate one-cell doc cluster, k > n_zones, and world-spanning
+    zones (the dense-split path) — geometry shapes the fixed SF
+    fixture never produces."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.kernels import box_point_squared_distance
+    from locus_ray.stages import partitioned
+
+    cases = [
+        # (n_docs, n_zones, k, doc_mode, zone_mode, hot)
+        (400, 60, 3, "uniform", "small", None),
+        (600, 40, 3, "one_cell", "small", 50),   # degenerate cluster, salted
+        (200, 4, 6, "uniform", "small", None),   # k > n_zones
+        (300, 30, 2, "uniform", "with_world_spanners", None),
+    ]
+    for seed, (nd, nz, k, dmode, zmode, hot) in enumerate(cases):
+        rng = np.random.default_rng(seed + 101)
+        if dmode == "one_cell":
+            x = np.full(nd, 12.3) + rng.uniform(0, 1e-4, nd)
+            y = np.full(nd, -45.6) + rng.uniform(0, 1e-4, nd)
+        else:
+            x = rng.uniform(-179, 179, nd)
+            y = rng.uniform(-89, 89, nd)
+        mnx = rng.uniform(-179, 170, nz)
+        mny = rng.uniform(-89, 80, nz)
+        mxx = mnx + rng.uniform(0.01, 8.0, nz)
+        mxy = mny + rng.uniform(0.01, 4.0, nz)
+        if zmode == "with_world_spanners":
+            mnx[:2], mxx[:2] = -180.0, 180.0  # dense-split candidates
+            mny[:2], mxy[:2] = -90.0, 90.0
+        zid = np.arange(nz, dtype=np.int64) * 7 + 3  # non-contiguous ids
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": np.arange(nd, dtype=np.int64),
+            "x": x, "y": y})).repartition(3)
+        zones = rd.from_arrow(pa.table({
+            "zone_id": zid, "min_x": mnx, "max_x": mxx,
+            "min_y": mny, "max_y": mxy})).repartition(2)
+        payload = {"ids": zid, "min_x": mnx, "max_x": mxx,
+                   "min_y": mny, "max_y": mxy}
+
+        got = partitioned.knn_join_partitioned(
+            docs, zones, payload, k=k, res=6, num_partitions=2,
+            hot_threshold=hot,
+        ).to_pandas().sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+        d2 = box_point_squared_distance(mnx[None, :], mxx[None, :],
+                                        mny[None, :], mxy[None, :],
+                                        x[:, None], y[:, None])
+        kk = min(k, nz)
+        exp_rows = []
+        for r in range(nd):
+            order = np.lexsort((zid, d2[r]))[:kk]
+            for rnk, j in enumerate(order, 1):
+                exp_rows.append((r, zid[j], d2[r][j], rnk))
+        assert len(got) == len(exp_rows), (seed, len(got), len(exp_rows))
+        got_rows = list(zip(got["doc_id"], got["zone_id"],
+                            got["d2"], got["rnk"]))
+        assert got_rows == exp_rows, seed
+
+
+def test_contain_join_randomized_layers(ray_session):
+    """Randomized-geometry sweep of the grouped-exchange containment
+    join vs the closed-containment brute force, including oversized
+    zones (broadcast hybrid split) and a degenerate doc cluster."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from locus_ray.stages import partitioned
+
+    for seed, (nd, nz, dmode, big, hot) in enumerate([
+        (500, 80, "uniform", False, None),
+        (700, 50, "one_cell", False, 40),
+        (300, 25, "uniform", True, None),   # oversized-zone hybrid path
+    ]):
+        rng = np.random.default_rng(seed + 2024)
+        if dmode == "one_cell":
+            x = np.full(nd, -100.1) + rng.uniform(0, 1e-4, nd)
+            y = np.full(nd, 20.2) + rng.uniform(0, 1e-4, nd)
+        else:
+            x = rng.uniform(-179, 179, nd)
+            y = rng.uniform(-89, 89, nd)
+        mnx = rng.uniform(-179, 150, nz)
+        mny = rng.uniform(-89, 70, nz)
+        mxx = mnx + rng.uniform(0.5, 25.0, nz)
+        mxy = mny + rng.uniform(0.5, 15.0, nz)
+        if big:
+            mnx[:3], mxx[:3] = -180.0, 180.0
+            mny[:3], mxy[:3] = -90.0, 90.0
+        if dmode == "one_cell":  # guarantee hits on the cluster
+            mnx[0], mxx[0] = -101.0, -99.0
+            mny[0], mxy[0] = 19.0, 21.0
+        zid = np.arange(nz, dtype=np.int64) * 3 + 11
+
+        got = partitioned.contain_join_partitioned(
+            rd.from_arrow(pa.table({
+                "doc_id": np.arange(nd, dtype=np.int64),
+                "x": x, "y": y})).repartition(3),
+            rd.from_arrow(pa.table({
+                "zone_id": zid, "min_x": mnx, "max_x": mxx,
+                "min_y": mny, "max_y": mxy})).repartition(2),
+            res=6, num_partitions=2, hot_threshold=hot,
+        ).to_pandas()
+        inside = ((mnx[None, :] <= x[:, None]) & (x[:, None] <= mxx[None, :])
+                  & (mny[None, :] <= y[:, None]) & (y[:, None] <= mxy[None, :]))
+        r, c = np.nonzero(inside)
+        exp = set(zip(r.tolist(), zid[c].tolist()))
+        got_pairs = (set(zip(got["doc_id"], got["zone_id"]))
+                     if len(got) else set())  # empty frames lose columns
+        assert got_pairs == exp, seed
+        assert len(got) == len(exp), seed
+        assert exp, seed  # every case must actually exercise matches
